@@ -1,0 +1,75 @@
+"""Benchmark: rays/s/chip fwd+bwd at 64 coarse + 64 fine samples (the
+operative metric from BASELINE.json), measured on the flagship
+AudioFaceModel train step (2048 semantic-weighted rays per step, full loss
+stack + Adam update — the same program the trainer runs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+comparison constant below is an engineering estimate of the reference
+PyTorch code on an H100 for the identical workload (~0.7 TFLOP fwd /
+~2.1 TFLOP fwd+bwd per 2048-ray step; eager fp32 torch at realistic MFU
+=> ~50k rays/s). The BASELINE.json target of ">=2x H100 rays/s per chip"
+therefore maps to vs_baseline >= 2.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+H100_REFERENCE_RAYS_PER_S = 50_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sahs_tpu.config import Config
+    from sahs_tpu.data.synthetic import SyntheticFaceDataset
+    from sahs_tpu.models.nerface import ModelSpec
+    from sahs_tpu.train.stage1 import (TrainSettings, init_train_state,
+                                       make_train_step)
+
+    cfg = Config()  # person_2_auto-equivalent: 2048 rays, 64+64 samples
+    spec = ModelSpec.from_config(cfg)
+    ts = TrainSettings.from_config(cfg)
+
+    ds = SyntheticFaceDataset(kind="audio", num_frames=4, H=512, W=512,
+                              near=cfg.dataset.near, far=cfg.dataset.far)
+    background = jnp.asarray(ds.background())
+    batches = []
+    for i in range(len(ds)):
+        item = ds[i]
+        b = {k: jnp.asarray(v) for k, v in item.items() if k != "fname"}
+        b["background"] = background
+        batches.append(b)
+
+    key = jax.random.PRNGKey(0)
+    state = init_train_state(key, spec, ts)
+    step_fn = make_train_step(spec, ts, donate=True)
+
+    # Warmup / compile
+    key, k = jax.random.split(key)
+    state, metrics = step_fn(state, batches[0], k)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 50
+    t0 = time.time()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, batches[i % len(batches)], k)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+
+    rays_per_s = ts.num_random_rays * iters / dt
+    print(json.dumps({
+        "metric": "rays/s/chip (fwd+bwd, 2048 rays, 64+64 samples)",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / H100_REFERENCE_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

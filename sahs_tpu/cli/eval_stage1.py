@@ -1,0 +1,73 @@
+"""Stage-I evaluation CLI.
+
+Equivalent of reference nerf-pytorch/eval_stage_rays.py:
+  python -m sahs_tpu.cli.eval_stage1 --config cfg.yml --checkpoint ckpt \
+      --savedir out/ [--save-disparity-image] [--save-error-image]
+Accepts both native checkpoints and reference torch checkpoints
+(auto-detected by extension / content).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+
+from ..config import load_config
+from ..evaluation import evaluate_dataset
+from ..models.nerface import ModelSpec
+from ..utils import checkpoint as ckpt_lib
+from .train_stage1 import build_dataset
+
+
+def load_any_checkpoint(path: str, spec):
+    try:
+        ckpt = ckpt_lib.load_checkpoint(path)
+        if isinstance(ckpt, dict) and "params" in ckpt:
+            import jax
+            params = jax.tree.map(jnp.asarray, ckpt["params"])
+            return params["model"], ckpt
+    except Exception:
+        pass
+    imported = ckpt_lib.import_torch_checkpoint(path, spec)
+    return imported["model"], imported
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--checkpoint", type=str, required=True)
+    ap.add_argument("--savedir", type=str, required=True)
+    ap.add_argument("--save-disparity-image", action="store_true")
+    ap.add_argument("--save-error-image", action="store_true")
+    ap.add_argument("--save-mesh", action="store_true")
+    ap.add_argument("--no-normals", action="store_true")
+    ap.add_argument("--deterministic", action="store_true",
+                    help="perturb=False, noise=0 (parity mode)")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--limit", type=int, default=1500)
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    spec = ModelSpec.from_config(cfg)
+    model_params, extras = load_any_checkpoint(args.checkpoint, spec)
+
+    val_data = build_dataset(cfg, "val", args.synthetic)
+    background = extras.get("background")
+    if background is None:
+        bg = val_data.background()
+        background = jnp.asarray(bg) if bg is not None else None
+
+    os.makedirs(args.savedir, exist_ok=True)
+    evaluate_dataset(cfg, spec, model_params, val_data, args.savedir,
+                     background=background,
+                     save_disparity=args.save_disparity_image,
+                     save_error=args.save_error_image,
+                     save_mesh=args.save_mesh,
+                     save_normals=not args.no_normals,
+                     limit=args.limit,
+                     deterministic=args.deterministic)
+
+
+if __name__ == "__main__":
+    main()

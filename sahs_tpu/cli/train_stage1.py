@@ -1,0 +1,177 @@
+"""Stage-I training CLI.
+
+Equivalent of reference nerf-pytorch/train_stage_rays_auto.py:
+  python -m sahs_tpu.cli.train_stage1 --config cfg.yml [--load-checkpoint ckpt]
+
+Differences by design (TPU-first):
+  - the whole step (weighted ray selection -> render -> loss -> adam) is one
+    jitted program; frames are staged on device up-front;
+  - randomness is jax.random (seeded from cfg.experiment.randomseed);
+  - checkpoints are the native pickle schema (utils/checkpoint.py) and can
+    also be bootstrapped from a reference torch checkpoint via
+    --import-torch-checkpoint.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import load_config
+from ..data import AudioDataset, NerfaceDataset, SyntheticFaceDataset
+from ..models.nerface import ModelSpec
+from ..train.stage1 import (TrainSettings, TrainState, init_train_state,
+                            make_optimizer, make_train_step)
+from ..utils import checkpoint as ckpt_lib
+from ..utils.logging import MetricLogger
+
+
+def build_dataset(cfg, mode, synthetic=False):
+    if synthetic:
+        return SyntheticFaceDataset(
+            kind=cfg.dataset.type, num_frames=8,
+            H=64, W=64, near=cfg.dataset.near, far=cfg.dataset.far)
+    if cfg.dataset.type.lower() == "audio":
+        return AudioDataset(mode, cfg,
+                            testskip=cfg.dataset.testskip if mode != "train" else 1)
+    return NerfaceDataset(mode, cfg)
+
+
+def device_batch(item, background):
+    b = {k: jnp.asarray(v) for k, v in item.items() if k != "fname"}
+    if background is not None:
+        b["background"] = background
+    return b
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--load-checkpoint", type=str, default="")
+    ap.add_argument("--import-torch-checkpoint", type=str, default="")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use the procedural fixture dataset")
+    ap.add_argument("--max-iters", type=int, default=0,
+                    help="override cfg.experiment.train_iters")
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    spec = ModelSpec.from_config(cfg)
+    ts = TrainSettings.from_config(cfg)
+    np.random.seed(cfg.experiment.randomseed)
+    key = jax.random.PRNGKey(cfg.experiment.randomseed)
+
+    train_data = build_dataset(cfg, "train", args.synthetic)
+    val_data = build_dataset(cfg, "val", args.synthetic)
+    print(f"dataset: {len(train_data)} train / {len(val_data)} val frames, "
+          f"{train_data.H}x{train_data.W}")
+
+    background = None
+    if ts.fixed_background or ts.train_background:
+        bg = train_data.background()
+        background = jnp.asarray(bg) if bg is not None else None
+
+    key, init_key = jax.random.split(key)
+    state = init_train_state(init_key, spec, ts, background=background,
+                             num_latent_frames=len(train_data))
+
+    pose_c = jnp.asarray(train_data[0]["pose"])  # canonical pose = frame 0
+
+    if args.import_torch_checkpoint:
+        imported = ckpt_lib.import_torch_checkpoint(
+            args.import_torch_checkpoint, spec)
+        params = dict(state.params)
+        params["model"] = imported["model"]
+        state = state._replace(params=params)
+        if "sample_prob" in imported:
+            state = state._replace(sample_prob=imported["sample_prob"])
+        if "background" in imported:
+            background = imported["background"]
+    if args.load_checkpoint and os.path.exists(args.load_checkpoint):
+        state, extras = ckpt_lib.restore_train_state(args.load_checkpoint, state)
+        if extras.get("background") is not None:
+            background = jnp.asarray(extras["background"])
+        if extras.get("pose_c") is not None:
+            pose_c = jnp.asarray(extras["pose_c"])
+        print(f"resumed from {args.load_checkpoint} at iter {int(state.step)}")
+
+    logdir = os.path.join(cfg.experiment.logdir, cfg.experiment.id)
+    logger = MetricLogger(logdir)
+    with open(os.path.join(logdir, "config.yml"), "w") as fp:
+        fp.write(cfg.dump())
+
+    step_fn = make_train_step(spec, ts, donate=cfg.runtime.donate_state)
+    n_iters = args.max_iters or cfg.experiment.train_iters
+    start_iter = int(state.step)
+
+    t_report = time.time()
+    rays_done = 0
+    for i in range(start_iter, n_iters):
+        img_i = np.random.choice(len(train_data))
+        batch = device_batch(train_data[img_i], background)
+        key, step_key = jax.random.split(key)
+        state, metrics = step_fn(state, batch, step_key)
+        rays_done += ts.num_random_rays
+
+        if i % cfg.experiment.print_every == 0 or i == n_iters - 1:
+            m = jax.device_get(metrics)
+            dt = time.time() - t_report
+            rps = rays_done / max(dt, 1e-9)
+            print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.6f} "
+                  f"PSNR_RGB: {m['psnr']:.3f} BG Loss: {m['bg_loss']:.6f} "
+                  f"rays/s: {rps:,.0f}")
+            logger.scalars(i, {"train/loss": m["loss"],
+                               "train/psnr": m["psnr"],
+                               "train/coarse_l2": m["coarse_l2"],
+                               "train/fine_l2": m["fine_l2"],
+                               "train/coarse_ce": m["coarse_ce"],
+                               "train/fine_ce": m["fine_ce"],
+                               "perf/rays_per_s": rps})
+            t_report = time.time()
+            rays_done = 0
+
+        if i % cfg.experiment.validate_every == 0 and i > 0:
+            _validate(cfg, spec, state, val_data, background, logger, i, key)
+
+        if (i % cfg.experiment.save_every == 0 and i > 0) or i == n_iters - 1:
+            path = os.path.join(logdir, f"checkpoint{i:07d}.ckpt")
+            ckpt_lib.save_checkpoint(path, state, extras={
+                "background": background, "pose_c": pose_c,
+                "height": train_data.H, "width": train_data.W,
+                "focal_length": train_data.intrinsics,
+            })
+            print(f"saved {path}")
+    logger.close()
+
+
+def _validate(cfg, spec, state, val_data, background, logger, step, key):
+    from ..evaluation import make_eval_renderer
+    from ..render.pipeline import RenderSettings
+    from ..ops.losses import img2mse, mse2psnr
+
+    settings = RenderSettings.from_config(cfg, "validation")
+    renderer = make_eval_renderer(spec, settings, val_data.H, val_data.W,
+                                  float(cfg.dataset.near), float(cfg.dataset.far))
+    psnrs = []
+    for i in range(min(len(val_data), 4)):
+        item = val_data[i]
+        key, sub = jax.random.split(key)
+        out = renderer(state.params["model"], jnp.asarray(item["intrinsics"]),
+                       jnp.asarray(item["pose"]), jnp.asarray(item["driving"]),
+                       background, sub)
+        rgb = out["rgb_fine"] if out["rgb_fine"] is not None else out["rgb_coarse"]
+        mse = float(img2mse(rgb[..., :3], jnp.asarray(item["image"])))
+        psnrs.append(mse2psnr(mse))
+        if i == 0:
+            logger.image(step, "val/rgb", np.asarray(rgb[..., :3]))
+    logger.scalars(step, {"val/psnr": float(np.mean(psnrs))})
+    print(f"[VAL] Iter: {step} PSNR: {np.mean(psnrs):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Stage-II training CLI (SPADE texture refinement).
+
+Equivalent of reference nerf-pytorch/train_get_texture_photo{,_audio}.py:
+  python -m sahs_tpu.cli.train_stage2 --config cfg.yml [--savedir out/]
+The audio/3DMM variant is selected by cfg.dataset.type.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import load_config
+from ..data.audio import AudioDataset
+from ..data.texture import identity_photo, spade_gt_dataset, spade_output_dataset
+from ..train.stage2 import (Stage2Settings, init_stage2_state, make_infer,
+                            make_train_step)
+from ..utils.logging import MetricLogger
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--load-checkpoint", type=str, default="")
+    ap.add_argument("--max-epochs", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config)
+    audio_mode = cfg.dataset.type.lower() == "audio"
+
+    gt_train = spade_gt_dataset("train", cfg)
+    gt_val = spade_gt_dataset("val", cfg)
+    out_train = spade_output_dataset("train", cfg)
+    out_val = spade_output_dataset("val", cfg)
+    n_train = min(len(gt_train), len(out_train), cfg.texture_refine.train_num
+                  or len(out_train))
+    n_val = min(len(gt_val), len(out_val), cfg.texture_refine.val_num
+                or len(out_val))
+    auds = None
+    if audio_mode:
+        auds = AudioDataset("train", cfg).get_all_auds()
+
+    s = Stage2Settings.from_config(cfg, steps_per_epoch=n_train)
+    key = jax.random.PRNGKey(cfg.experiment.randomseed)
+    state = init_stage2_state(key, s)
+
+    i_src = jnp.asarray(identity_photo(cfg))[None]
+    step_fn = make_train_step(s)
+    infer_fn = make_infer(s)
+
+    logdir = os.path.join(cfg.experiment.logdir, cfg.experiment.id + "_stage2")
+    logger = MetricLogger(logdir)
+
+    import pickle
+    total_epochs = args.max_epochs or (s.epochs + s.epochs_decay)
+    for epoch in range(total_epochs):
+        for i in range(n_train):
+            raw = jnp.asarray(out_train[i])[None]
+            tgt = jnp.asarray(gt_train[i])[None]
+            if audio_mode:
+                state, m = step_fn(state, i_src, raw, tgt,
+                                   jnp.asarray(auds[min(i, len(auds) - 1)]))
+            else:
+                state, m = step_fn(state, i_src, raw, tgt)
+            if i % cfg.texture_refine.log_iters == 0:
+                mm = jax.device_get(m)
+                print(f"[S2] epoch {epoch} it {i} loss {mm['loss']:.6f} "
+                      f"psnr {mm['psnr']:.2f}")
+                logger.scalars(int(state.step),
+                               {"stage2/loss": mm["loss"],
+                                "stage2/psnr": mm["psnr"]})
+        if epoch % 2 == 0:
+            psnrs = []
+            for i in range(min(n_val, 8)):
+                raw = jnp.asarray(out_val[i])[None]
+                tgt = jnp.asarray(gt_val[i])[None]
+                if audio_mode:
+                    fake = infer_fn(state.params, state.bufs, i_src, raw,
+                                    jnp.asarray(auds[min(i, len(auds) - 1)]))
+                else:
+                    fake = infer_fn(state.params, state.bufs, i_src, raw)
+                mse = float(jnp.mean(jnp.square(fake - tgt)))
+                psnrs.append(-10 * np.log10(max(mse, 1e-10)))
+            print(f"[S2 VAL] epoch {epoch} PSNR {np.mean(psnrs):.3f}")
+            logger.scalars(int(state.step), {"stage2/val_psnr": float(np.mean(psnrs))})
+            ckpt = {"params": jax.device_get(state.params),
+                    "bufs": jax.device_get(state.bufs),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "epoch": epoch}
+            with open(os.path.join(logdir, f"checkpoint_ep{epoch:04d}.ckpt"),
+                      "wb") as fp:
+                pickle.dump(ckpt, fp, protocol=4)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Shared host-side data utilities.
+
+TPU-first input pipeline: the reference decodes JPEG+PNG per training
+iteration on the host (reference nerf-pytorch/nerf/audio_dataloader.py:171-188)
+which would starve a TPU step loop; here frames are decoded ONCE into compact
+uint8 caches (images) and uint8 label maps (parse masks), and expanded to
+float / one-hot on device as part of the jitted step.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..utils.seg import NUM_CLASSES, PALETTE
+
+
+def imread_rgb(path: str) -> np.ndarray:
+    """uint8 RGB image."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def resize_area(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    import cv2
+    if img.shape[0] == h and img.shape[1] == w:
+        return img
+    return cv2.resize(img, dsize=(w, h), interpolation=cv2.INTER_AREA)
+
+
+def read_parse_map(path: str, h: int, w: int) -> np.ndarray:
+    """Disk parse map -> (H, W) uint8 class labels.
+
+    Parity note: the reference reads parse maps with cv2 (BGR) and matches
+    them against an RGB palette (nerface_dataloader.py:180-183 +
+    utils.py:27-66) — i.e. the PNGs on disk store palette colors in BGR
+    order. We therefore match the *BGR-read* pixels against the RGB palette,
+    identical to the reference."""
+    import cv2
+    bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise FileNotFoundError(path)
+    flat = bgr.reshape(-1, 3).astype(np.int32)
+    eq = (flat[:, None, :] == PALETTE[None, :, :]).all(axis=-1)  # (N, 12)
+    labels = np.where(eq.any(axis=-1), eq.argmax(axis=-1), 0).astype(np.uint8)
+    labels = labels.reshape(bgr.shape[:2])
+    if labels.shape != (h, w):
+        labels = cv2.resize(labels, dsize=(w, h),
+                            interpolation=cv2.INTER_NEAREST)
+    return labels
+
+
+def labels_to_onehot(labels: np.ndarray) -> np.ndarray:
+    return np.eye(NUM_CLASSES, dtype=np.float32)[labels]
+
+
+def load_background(basedir: str, dataset_type: str, h: int, w: int
+                    ) -> Optional[np.ndarray]:
+    """Fixed background image padded to 15 channels: rgb(3) + bg-class
+    one-hot(1) + zeros(11) (reference train_stage_rays_auto.py:159-174).
+    expression datasets: bg/00050.png; audio datasets: bc.jpg."""
+    if dataset_type.lower() == "expression":
+        path = os.path.join(basedir, "bg", "00050.png")
+    else:
+        path = os.path.join(basedir, "bc.jpg")
+    if not os.path.exists(path):
+        return None
+    img = imread_rgb(path)
+    # PIL.thumbnail in the reference preserves aspect; datasets are square so
+    # a plain resize is equivalent.
+    img = resize_area(img, h, w).astype(np.float32) / 255.0
+    pad = np.concatenate(
+        [img[..., :3], np.ones((h, w, 1), np.float32),
+         np.zeros((h, w, 11), np.float32)], axis=-1)
+    return pad
+
+
+class FrameCache:
+    """Decode-once in-RAM store: uint8 images + uint8 label maps."""
+
+    def __init__(self, n: int, h: int, w: int, with_seg: bool):
+        self.images = np.zeros((n, h, w, 3), np.uint8)
+        self.labels = np.zeros((n, h, w), np.uint8) if with_seg else None
+        self.loaded = np.zeros((n,), bool)
+
+    def ensure(self, idx: int, img_path: str, seg_path: Optional[str],
+               h: int, w: int):
+        if self.loaded[idx]:
+            return
+        img = resize_area(imread_rgb(img_path), h, w)
+        self.images[idx] = img
+        if self.labels is not None and seg_path is not None:
+            self.labels[idx] = read_parse_map(seg_path, h, w)
+        self.loaded[idx] = True
+
+    def frame(self, idx: int) -> Dict[str, np.ndarray]:
+        out = {"image": self.images[idx].astype(np.float32) / 255.0}
+        if self.labels is not None:
+            out["mask"] = labels_to_onehot(self.labels[idx])
+        return out

@@ -1,0 +1,183 @@
+"""Stage-I evaluation: full-frame rendering + derived outputs.
+
+Parity targets in the reference (nerf-pytorch/eval_stage_rays.py):
+  - torch_normal_map          :116-151  (finite-difference normals from the
+                                         disparity map, cleaned by the
+                                         last-sample weight map)
+  - unproject_torch / save_pc :42-71    (depth -> world point cloud .obj)
+  - cast_to_image/disparity, error images, per-image timing, output naming
+    (f_%04d.png for expression, source fname for audio)  :480-553
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .models.nerface import ModelSpec
+from .render.pipeline import RenderSettings, render_image
+from .utils.seg import label2color
+
+
+def normal_map(disp: np.ndarray, intrinsics: np.ndarray,
+               weight_map: Optional[np.ndarray] = None, clean: bool = True,
+               central_difference: bool = False) -> np.ndarray:
+    """Disparity/depth map -> uint8 normal map; math parity with reference
+    eval_stage_rays.py:116-151 (cross products of forward differences of the
+    unprojected point map; weight-mask cleanup at threshold 0.22)."""
+    disp = np.asarray(disp, np.float32)
+    Wd, Hd = disp.shape
+    cx = intrinsics[2] * Wd
+    cy = intrinsics[3] * Hd
+    fx, fy = intrinsics[0], intrinsics[1]
+    ii = np.broadcast_to(np.arange(Wd, dtype=np.float32)[None, :], disp.shape)
+    jj = np.broadcast_to(np.arange(Hd, dtype=np.float32)[:, None], disp.shape)
+    points = np.stack([((ii - cx) * disp) / fx,
+                       -((jj - cy) * disp) / fy,
+                       disp], axis=-1)
+    d = 2 if central_difference else 1
+    dx = points[d:, :, :] - points[:-d, :, :]
+    dy = points[:, d:, :] - points[:, :-d, :]
+    normals = np.cross(dy[:-d, :, :], dx[:, :-d, :])
+    norm = np.sqrt(np.sum(normals * normals, axis=2, keepdims=True))
+    normals = normals / np.maximum(norm, 1e-12)
+    normals = normals * 0.5 + 0.5
+    if clean and weight_map is not None:
+        m = np.asarray(weight_map, np.float32)[..., None]
+        m = m[:-d, :-d]
+        normals = np.where(m > 0.22, 1.0, normals)
+        normals = (1 - m) * normals + m
+    return (normals * 255).astype(np.uint8)
+
+
+def unproject_depth(depth: np.ndarray, intrinsics: np.ndarray,
+                    pose: Optional[np.ndarray] = None) -> np.ndarray:
+    """Depth map -> (N, 3/4) point cloud; world coords when pose given
+    (reference eval_stage_rays.py:42-56)."""
+    H, W = depth.shape
+    u = np.broadcast_to(np.arange(W, dtype=np.float32)[None, :], depth.shape)
+    v = np.broadcast_to(np.arange(H, dtype=np.float32)[:, None], depth.shape)
+    x = (u - intrinsics[2]) * depth / intrinsics[0]
+    y = (v - intrinsics[3]) * depth / intrinsics[1]
+    pts = np.stack([x, y, depth], axis=-1).reshape(-1, 3)
+    if pose is not None:
+        p4 = np.eye(4, dtype=np.float32)
+        p4[:3, :4] = pose[:3, :4]
+        hom = np.concatenate([pts, np.ones((pts.shape[0], 1), np.float32)], 1)
+        pts = (np.linalg.inv(p4) @ hom.T).T
+    return pts
+
+
+def save_point_cloud(pts: np.ndarray, path: str) -> None:
+    with open(path, "w") as fp:
+        fp.write("\n".join(f"v {p[0]} {p[1]} {p[2]}" for p in pts))
+
+
+def cast_to_image(img: np.ndarray) -> np.ndarray:
+    return (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+
+
+def cast_to_disparity_image(disp: np.ndarray) -> np.ndarray:
+    d = np.asarray(disp, np.float32)
+    d = d / max(float(d.max()), 1e-10)
+    return (np.clip(d, 0, 1) * 255).astype(np.uint8)
+
+
+def error_image(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """Per-pixel L2 error heat image as uint8 (reference uses a matplotlib
+    figure; we emit the raw heat map directly)."""
+    err = np.sqrt(np.sum((np.asarray(gt, np.float32)
+                          - np.asarray(pred, np.float32)[..., :3]) ** 2, -1))
+    err = err / max(float(err.max()), 1e-10)
+    return (err * 255).astype(np.uint8)
+
+
+def make_eval_renderer(spec: ModelSpec, settings: RenderSettings,
+                       H: int, W: int, near: float, far: float,
+                       chunksize: Optional[int] = None):
+    """One jit-compiled full-image renderer."""
+
+    def _render(params, intrinsics, pose, driving, background, key):
+        return render_image(params, spec, settings, H, W, intrinsics, pose,
+                            near, far, driving, key=key,
+                            background=background, chunksize=chunksize)
+
+    return jax.jit(_render)
+
+
+def evaluate_dataset(cfg: Config, spec: ModelSpec, model_params, dataset,
+                     savedir: str, background=None,
+                     save_disparity: bool = False, save_error: bool = False,
+                     save_normals: bool = True, save_mesh: bool = False,
+                     limit: int = 1500, seed: int = 0,
+                     deterministic: bool = False):
+    """Reference eval loop parity (eval_stage_rays.py:355-556): renders every
+    frame, saves rgb / colorized seg / normals (+ optional disparity, error,
+    point cloud), prints running avg time per image."""
+    import imageio.v2 as imageio
+
+    settings = RenderSettings.from_config(cfg, "validation")
+    if deterministic:
+        settings = RenderSettings(
+            num_coarse=settings.num_coarse, num_fine=settings.num_fine,
+            perturb=False, lindisp=settings.lindisp,
+            radiance_field_noise_std=0.0,
+            white_background=settings.white_background,
+            chunksize=settings.chunksize)
+    os.makedirs(savedir, exist_ok=True)
+    for sub in ("masks", "normals") + (("disparity",) if save_disparity else ()) \
+            + (("error",) if save_error else ()) + (("mesh",) if save_mesh else ()):
+        os.makedirs(os.path.join(savedir, sub), exist_ok=True)
+
+    H, W = dataset.H, dataset.W
+    renderer = make_eval_renderer(spec, settings, H, W,
+                                  float(cfg.dataset.near), float(cfg.dataset.far))
+    key = jax.random.PRNGKey(seed)
+    bg = jnp.asarray(background) if background is not None else None
+    times = []
+    is_expression = cfg.dataset.type.lower() == "expression"
+    n = min(len(dataset), limit)
+    for i in range(n):
+        item = dataset[i]
+        t0 = time.time()
+        key, sub_key = jax.random.split(key)
+        out = renderer(model_params, jnp.asarray(item["intrinsics"]),
+                       jnp.asarray(item["pose"]), jnp.asarray(item["driving"]),
+                       bg, sub_key)
+        rgb = np.asarray(out["rgb_fine"] if out["rgb_fine"] is not None
+                         else out["rgb_coarse"])
+        disp = np.asarray(out["disp_fine"] if out["disp_fine"] is not None
+                          else out["disp_coarse"])
+        # per-pixel weight of the last (background) sample for normal cleanup
+        wmap = np.asarray(out["weights"][:, -1]).reshape(H, W)
+        times.append(time.time() - t0)
+
+        fname = (f"f_{i:04d}.png" if is_expression
+                 else os.path.basename(item.get("fname", f"{i}.jpg")))
+        stem = os.path.splitext(fname)[0]
+        imageio.imwrite(os.path.join(savedir, fname), cast_to_image(rgb[..., :3]))
+        if rgb.shape[-1] > 3:
+            seg_rgb = label2color(rgb[..., 3:])
+            imageio.imwrite(os.path.join(savedir, "masks", stem + ".png"),
+                            cast_to_image(seg_rgb))
+        if save_normals:
+            nm = normal_map(disp, item["intrinsics"], wmap, clean=True)
+            imageio.imwrite(os.path.join(savedir, "normals", stem + ".png"), nm)
+        if save_disparity:
+            imageio.imwrite(os.path.join(savedir, "disparity", stem + ".png"),
+                            cast_to_disparity_image(disp))
+        if save_error:
+            imageio.imwrite(os.path.join(savedir, "error", stem + ".png"),
+                            error_image(item["image"], rgb))
+        if save_mesh and out["depth_fine"] is not None:
+            pts = unproject_depth(np.asarray(out["depth_fine"]),
+                                  item["intrinsics"])
+            save_point_cloud(pts, os.path.join(savedir, "mesh", stem + ".obj"))
+        print(f"Avg time per image: {sum(times) / (i + 1):.3f}s")
+    return times

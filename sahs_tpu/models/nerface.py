@@ -1,0 +1,209 @@
+"""Top-level deformable-NeRF models (3DMM- and audio-driven).
+
+Functional re-design of the reference's NeRFaceModel / AudioFaceModel
+(nerf-pytorch/nerf/models.py:189-528): parameters are a pytree, application
+is a pure function of (params, spec, inputs). The observation->canonical
+mapping is:
+
+    x_obs --PE--> WarpFieldMLP --> Δx          (models.py:301-306)
+    x_obs --PE--> HyperSheetMLP --> ambient w  (models.py:308-316)
+    canonical hyper point = (x_obs + Δx, w)    (models.py:318-329)
+    spatial_embedding = trilerp(grid, x+Δx)    (models.py:346-365)
+    raw = NeRFMLP(PE(x+Δx) ⊕ PE(w) [⊕ driving][⊕ pose], PE(dir), se)
+
+Driving is either the 76-d 3DMM expression vector (NeRFace path) or
+AudioNet(window) (AudioFace path, models.py:507-528).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.encoding import get_embedding_function
+from ..ops.grid import grid_sample_3d
+from ..ops.rays import pose_to_euler_trans
+from . import fields
+from .fields import (HyperSpec, NeRFSpec, WarpSpec, audio_net_apply,
+                     audio_net_init, hyper_sheet_apply, hyper_sheet_init,
+                     nerf_mlp_apply, nerf_mlp_init, spatial_grid_init,
+                     warp_field_apply, warp_field_init)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static (hashable) description of the full model; safe to close over
+    inside jit."""
+    kind: str                       # "NeRFaceModel" | "AudioFaceModel"
+    use_warp: bool
+    use_ambient: bool
+    use_spatial_embeddings: bool
+    use_viewdirs: bool
+    warp: Optional[WarpSpec]
+    hyper: Optional[HyperSpec]
+    coarse: NeRFSpec
+    fine: Optional[NeRFSpec]
+    # PE settings
+    num_encoding_fn_xyz: int
+    include_input_xyz: bool
+    log_sampling_xyz: bool
+    num_encoding_fn_dir: int
+    include_input_dir: bool
+    log_sampling_dir: bool
+    num_encoding_fn_ambient: int
+    include_input_ambient: bool
+    log_sampling_ambient: bool
+    # deformation-MLP PE (may differ from the canonical field's)
+    warp_num_encoding_fn_xyz: int
+
+    @classmethod
+    def from_config(cls, cfg: Config) -> "ModelSpec":
+        m = cfg.models
+        warp = WarpSpec.from_config(m.warp) if m.warp.use_warp else None
+        hyper = HyperSpec.from_config(m.hyper) if m.hyper.use_ambient else None
+        coarse = NeRFSpec.from_config(m.coarse, m.hyper)
+        # The reference builds the fine MLP with the *coarse* width/depth and
+        # pose/spatial flags (models.py:278-296) — mirror that.
+        fine = None
+        if m.fine is not None:
+            import copy
+            fine_cfg = copy.deepcopy(m.fine)
+            fine_cfg.num_layers = m.coarse.num_layers
+            fine_cfg.hidden_size = m.coarse.hidden_size
+            fine_cfg.use_pose = m.coarse.use_pose
+            fine_cfg.include_pose = m.coarse.include_pose
+            fine_cfg.use_spatial_embeddings = m.coarse.use_spatial_embeddings
+            fine = NeRFSpec.from_config(fine_cfg, m.hyper)
+        return cls(
+            kind=m.mask.type,
+            use_warp=m.warp.use_warp,
+            use_ambient=m.hyper.use_ambient,
+            use_spatial_embeddings=m.coarse.use_spatial_embeddings,
+            use_viewdirs=m.coarse.use_viewdirs,
+            warp=warp,
+            hyper=hyper,
+            coarse=coarse,
+            fine=fine,
+            num_encoding_fn_xyz=m.coarse.num_encoding_fn_xyz,
+            include_input_xyz=m.coarse.include_input_xyz,
+            log_sampling_xyz=m.coarse.log_sampling_xyz,
+            num_encoding_fn_dir=m.coarse.num_encoding_fn_dir,
+            include_input_dir=m.coarse.include_input_dir,
+            log_sampling_dir=m.coarse.log_sampling_dir,
+            num_encoding_fn_ambient=m.hyper.num_encoding_fn_ambient,
+            include_input_ambient=m.hyper.include_input_ambient,
+            log_sampling_ambient=m.hyper.log_sampling_ambient,
+            warp_num_encoding_fn_xyz=m.warp.num_encoding_fn_xyz,
+        )
+
+    @property
+    def is_audio(self) -> bool:
+        return self.kind in ("AudioFaceModel", "AudioMaskGenerator")
+
+
+def init_model_params(key: jax.Array, spec: ModelSpec) -> Params:
+    keys = jax.random.split(key, 6)
+    params: Params = {}
+    if spec.use_warp:
+        params["warp"] = warp_field_init(keys[0], spec.warp)
+    if spec.use_ambient:
+        params["hyper"] = hyper_sheet_init(keys[1], spec.hyper)
+    params["coarse"] = nerf_mlp_init(keys[2], spec.coarse)
+    if spec.fine is not None:
+        params["fine"] = nerf_mlp_init(keys[3], spec.fine)
+    if spec.use_spatial_embeddings:
+        params["spatial_embeddings"] = spatial_grid_init(keys[4])
+    if spec.is_audio:
+        params["audnet"] = audio_net_init(keys[5])
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Application
+# ---------------------------------------------------------------------------
+
+def encode_pose(pose: jnp.ndarray) -> jnp.ndarray:
+    """(3,4) c2w pose -> (36,) PE of the 6-dof euler+trans
+    (reference models.py:371-372, 519-520)."""
+    pe = get_embedding_function(3, include_input=False, log_sampling=True)
+    return pe(pose_to_euler_trans(pose[None]))[0]
+
+
+def compute_driving(params: Params, spec: ModelSpec,
+                    driving_or_audio: jnp.ndarray) -> jnp.ndarray:
+    """AudioFace: run AudioNet on the (16,29) window; NeRFace: identity on
+    the (76,) expression vector."""
+    if spec.is_audio:
+        return audio_net_apply(params["audnet"], driving_or_audio)
+    return driving_or_audio
+
+
+def map_points(params: Params, spec: ModelSpec, points: jnp.ndarray,
+               driving: jnp.ndarray, pose_enc: jnp.ndarray) -> jnp.ndarray:
+    """(P,3) observation points -> (P, 3[+ambient]) canonical hyper points
+    (reference models.py:301-329). The deformation MLPs use the *warp* PE
+    frequency count, which can differ from the canonical field's."""
+    pe_warp = get_embedding_function(spec.warp_num_encoding_fn_xyz,
+                                     include_input=True, log_sampling=True)
+    pe_x = pe_warp(points)
+    spatial = points
+    if spec.use_warp:
+        dx = warp_field_apply(params["warp"], spec.warp, pe_x, driving, pose_enc)
+        spatial = points + dx
+    if spec.use_ambient:
+        w = hyper_sheet_apply(params["hyper"], spec.hyper, pe_x, driving, pose_enc)
+        return jnp.concatenate([spatial, w], axis=-1)
+    return spatial
+
+
+def query_template(params: Params, spec: ModelSpec, level: str,
+                   mapped_points: jnp.ndarray, viewdirs: Optional[jnp.ndarray],
+                   driving: jnp.ndarray, pose_enc: jnp.ndarray,
+                   latent_code: Optional[jnp.ndarray],
+                   spatial_embedding: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Canonical-field query (reference models.py:331-344)."""
+    nerf_spec: NeRFSpec = getattr(spec, level)
+    pe_pos = get_embedding_function(spec.num_encoding_fn_xyz,
+                                    spec.include_input_xyz, spec.log_sampling_xyz)
+    points_embed = pe_pos(mapped_points[..., :3])
+    if mapped_points.shape[-1] > 3:
+        pe_amb = get_embedding_function(spec.num_encoding_fn_ambient,
+                                        spec.include_input_ambient,
+                                        spec.log_sampling_ambient)
+        points_embed = jnp.concatenate(
+            [points_embed, pe_amb(mapped_points[..., 3:])], axis=-1)
+    dirs_embed = None
+    if spec.use_viewdirs:
+        pe_dir = get_embedding_function(spec.num_encoding_fn_dir,
+                                        spec.include_input_dir,
+                                        spec.log_sampling_dir)
+        dirs_embed = pe_dir(viewdirs)
+    return nerf_mlp_apply(params[level], nerf_spec, points_embed, dirs_embed,
+                          driving=driving,
+                          pose=pose_enc if nerf_spec.use_pose else None,
+                          latent_code=latent_code,
+                          spatial_embedding=spatial_embedding)
+
+
+def apply_field(params: Params, spec: ModelSpec, level: str,
+                points: jnp.ndarray, viewdirs: Optional[jnp.ndarray],
+                driving_or_audio: jnp.ndarray, pose: jnp.ndarray,
+                latent_code: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Full per-point field evaluation: (P,3) points (+ (P,3) raw view dirs)
+    -> (P, 16) raw radiance field. ``pose`` is the (3,4) camera pose; its
+    6-dof PE is computed once per call (reference models.py:367-380,514-528).
+    """
+    driving = compute_driving(params, spec, driving_or_audio)
+    pose_enc = encode_pose(pose)
+    mapped = map_points(params, spec, points, driving, pose_enc)
+    spatial_embedding = None
+    if spec.use_spatial_embeddings:
+        spatial_embedding = grid_sample_3d(params["spatial_embeddings"],
+                                           mapped[..., :3])
+    return query_template(params, spec, level, mapped, viewdirs, driving,
+                          pose_enc, latent_code, spatial_embedding)

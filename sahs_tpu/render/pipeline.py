@@ -1,0 +1,229 @@
+"""Hierarchical coarse/fine rendering pipeline.
+
+Re-design of the reference hot path (nerf-pytorch/nerf/train_utils.py:9-321)
+for XLA: one fused, shape-static function per ray batch instead of Python
+chunk loops; chunking for full-image eval is expressed as ``lax.map`` over
+fixed-size ray blocks so everything stays on device under a single jit.
+
+Reference quirks preserved (verified against train_utils.py):
+  - viewdirs fed to the field are the RAW (unnormalized) ray directions —
+    run_network reads ray_batch[..., 3:6] (train_utils.py:15) and the
+    normalized copy is discarded (train_utils.py:267).
+  - the last coarse/fine sample's first 15 channels are overwritten with the
+    background prior BEFORE compositing (train_utils.py:135-136,184-185).
+  - fine z-values = sort(cat(coarse z, sample_pdf(mid, weights[1:-1])))
+    with the importance samples detached (train_utils.py:157-166).
+  - the returned "weights" after the fine pass are the FINE weights, and the
+    train loop additionally receives weights[:, -1] (train_utils.py:193,205).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config, NerfModeConfig
+from ..models import nerface
+from ..models.nerface import ModelSpec, Params
+from ..ops.rendering import volume_render_radiance_field
+from ..ops.sampling import coarse_z_vals, merge_z_vals, sample_pdf
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static per-mode settings (hashable; safe as a jit static arg)."""
+    num_coarse: int = 64
+    num_fine: int = 64
+    perturb: bool = True
+    lindisp: bool = False
+    radiance_field_noise_std: float = 0.0
+    white_background: bool = False
+    chunksize: int = 131072
+
+    @classmethod
+    def from_mode_config(cls, mc: NerfModeConfig) -> "RenderSettings":
+        return cls(
+            num_coarse=mc.num_coarse,
+            num_fine=mc.num_fine,
+            perturb=bool(mc.perturb),
+            lindisp=bool(mc.lindisp),
+            radiance_field_noise_std=float(mc.radiance_field_noise_std),
+            white_background=bool(mc.white_background),
+            chunksize=int(mc.chunksize),
+        )
+
+    @classmethod
+    def from_config(cls, cfg: Config, mode: str) -> "RenderSettings":
+        return cls.from_mode_config(getattr(cfg.nerf, mode))
+
+
+class RayRenderResult(NamedTuple):
+    rgb_coarse: jnp.ndarray            # (R, C) rgb(3) [+ seg(12)]
+    disp_coarse: jnp.ndarray
+    acc_coarse: jnp.ndarray
+    rgb_fine: Optional[jnp.ndarray]
+    disp_fine: Optional[jnp.ndarray]
+    acc_fine: Optional[jnp.ndarray]
+    weights: Optional[jnp.ndarray]     # fine weights (R, Nc+Nf)
+    depth_fine: Optional[jnp.ndarray]
+
+
+def render_rays(
+    params: Params,
+    spec: ModelSpec,
+    settings: RenderSettings,
+    ray_origins: jnp.ndarray,          # (R, 3)
+    ray_directions: jnp.ndarray,       # (R, 3) raw
+    near: float,
+    far: float,
+    driving_or_audio: jnp.ndarray,     # (76,) expression or (16, 29) audio
+    pose: jnp.ndarray,                 # (3, 4)
+    key: Optional[jax.Array] = None,
+    background_prior: Optional[jnp.ndarray] = None,  # (R, 15)
+    latent_code: Optional[jnp.ndarray] = None,
+    field_fn=None,
+) -> RayRenderResult:
+    """Render one batch of rays. ``field_fn`` optionally overrides the
+    per-point field evaluation (used to swap in the fused Pallas path):
+    field_fn(level, pts_flat, dirs_flat) -> (P, 16)."""
+    num_rays = ray_origins.shape[0]
+    dtype = ray_origins.dtype
+    needs_rng = settings.perturb or settings.radiance_field_noise_std > 0
+    if key is None and needs_rng:
+        raise ValueError("render_rays needs a PRNG key when perturb/noise on")
+    keys = jax.random.split(key, 4) if key is not None else [None] * 4
+
+    nearv = jnp.full((num_rays,), near, dtype=dtype)
+    farv = jnp.full((num_rays,), far, dtype=dtype)
+
+    # Shared per-frame conditioning, computed once (the reference recomputes
+    # per chunk/level with identical results, models.py:514-521).
+    if field_fn is None:
+        driving = nerface.compute_driving(params, spec, driving_or_audio)
+        pose_enc = nerface.encode_pose(pose)
+
+        def field_fn(level, pts_flat, dirs_flat):
+            mapped = nerface.map_points(params, spec, pts_flat, driving, pose_enc)
+            se = None
+            if spec.use_spatial_embeddings:
+                from ..ops.grid import grid_sample_3d
+                se = grid_sample_3d(params["spatial_embeddings"], mapped[..., :3])
+            return nerface.query_template(params, spec, level, mapped,
+                                          dirs_flat, driving, pose_enc,
+                                          latent_code, se)
+
+    def run_level(level, z_vals, noise_key):
+        pts = ray_origins[:, None, :] + ray_directions[:, None, :] * z_vals[..., None]
+        S = z_vals.shape[-1]
+        pts_flat = pts.reshape(-1, 3)
+        dirs_flat = jnp.broadcast_to(ray_directions[:, None, :],
+                                     (num_rays, S, 3)).reshape(-1, 3)
+        raw = field_fn(level, pts_flat, dirs_flat)
+        raw = raw.reshape(num_rays, S, raw.shape[-1])
+        if background_prior is not None:
+            raw = raw.at[:, -1, :-1].set(background_prior)
+        return volume_render_radiance_field(
+            raw, z_vals, ray_directions,
+            radiance_field_noise_std=settings.radiance_field_noise_std,
+            white_background=settings.white_background,
+            background_prior=background_prior,
+            noise_key=noise_key,
+        )
+
+    z_coarse = coarse_z_vals(nearv, farv, settings.num_coarse,
+                             lindisp=settings.lindisp,
+                             perturb=settings.perturb, key=keys[0])
+    coarse = run_level("coarse", z_coarse, keys[1])
+
+    if settings.num_fine <= 0 or spec.fine is None:
+        return RayRenderResult(coarse.rgb, coarse.disp, coarse.acc,
+                               None, None, None, coarse.weights, None)
+
+    z_mid = 0.5 * (z_coarse[..., 1:] + z_coarse[..., :-1])
+    z_samples = sample_pdf(z_mid, coarse.weights[..., 1:-1], settings.num_fine,
+                           det=(not settings.perturb), key=keys[2])
+    z_fine = merge_z_vals(z_coarse, z_samples)
+    fine = run_level("fine", z_fine, keys[3])
+
+    return RayRenderResult(coarse.rgb, coarse.disp, coarse.acc,
+                           fine.rgb, fine.disp, fine.acc,
+                           fine.weights, fine.depth)
+
+
+def render_rays_chunked(params, spec, settings, ray_origins, ray_directions,
+                        near, far, driving_or_audio, pose,
+                        key=None, background_prior=None, latent_code=None,
+                        chunksize: Optional[int] = None) -> RayRenderResult:
+    """Full-bundle rendering via lax.map over fixed-size ray chunks (the
+    TPU equivalent of the reference's get_minibatches python loop,
+    train_utils.py:274-295). Rays are padded to a multiple of the chunk."""
+    chunksize = chunksize or settings.chunksize
+    R = ray_origins.shape[0]
+    n_chunks = max(1, -(-R // chunksize))
+    pad = n_chunks * chunksize - R
+
+    def pad0(x):
+        if x is None:
+            return None
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    ro = pad0(ray_origins).reshape(n_chunks, chunksize, 3)
+    rd = pad0(ray_directions).reshape(n_chunks, chunksize, 3)
+    has_bg = background_prior is not None
+    bg = (pad0(background_prior).reshape(n_chunks, chunksize, -1) if has_bg
+          else jnp.zeros((n_chunks, chunksize, 1), dtype=ro.dtype))
+    chunk_keys = (jax.random.split(key, n_chunks) if key is not None
+                  else jnp.zeros((n_chunks,) + jax.random.PRNGKey(0).shape,
+                                 dtype=jax.random.PRNGKey(0).dtype))
+
+    def render_chunk(args):
+        ro_c, rd_c, bg_c, k_c = args
+        return render_rays(params, spec, settings, ro_c, rd_c, near, far,
+                           driving_or_audio, pose,
+                           key=k_c if key is not None else None,
+                           background_prior=bg_c if has_bg else None,
+                           latent_code=latent_code)
+
+    out = jax.lax.map(render_chunk, (ro, rd, bg, chunk_keys))
+
+    def unchunk(x):
+        if x is None:
+            return None
+        x = x.reshape((n_chunks * chunksize,) + x.shape[2:])
+        return x[:R]
+
+    return RayRenderResult(*[unchunk(x) for x in out])
+
+
+def render_image(params, spec, settings, H, W, intrinsics, pose, near, far,
+                 driving_or_audio, key=None, background=None,
+                 latent_code=None, chunksize: Optional[int] = None
+                 ) -> Dict[str, Any]:
+    """Full-image render (the reference's mode='validation' path,
+    train_utils.py:303-319). background: (H, W, 15) or None."""
+    from ..ops.rays import get_ray_bundle
+    ro, rd = get_ray_bundle(H, W, intrinsics, pose)
+    bg = background.reshape(-1, background.shape[-1]) if background is not None else None
+    res = render_rays_chunked(params, spec, settings,
+                              ro.reshape(-1, 3), rd.reshape(-1, 3), near, far,
+                              driving_or_audio, pose, key=key,
+                              background_prior=bg, latent_code=latent_code,
+                              chunksize=chunksize)
+
+    def img(x):
+        if x is None:
+            return None
+        return x.reshape((H, W, -1)) if x.ndim == 2 else x.reshape((H, W))
+
+    return {
+        "rgb_coarse": img(res.rgb_coarse),
+        "disp_coarse": img(res.disp_coarse),
+        "acc_coarse": img(res.acc_coarse),
+        "rgb_fine": img(res.rgb_fine),
+        "disp_fine": img(res.disp_fine),
+        "acc_fine": img(res.acc_fine),
+        "weights": res.weights,
+        "depth_fine": img(res.depth_fine),
+    }
