@@ -49,18 +49,25 @@ def main():
     state = init_train_state(key, spec, ts)
     step_fn = make_train_step(spec, ts, donate=True)
 
-    # Warmup / compile
+    # Warmup / compile. NOTE: on the tunneled axon backend,
+    # block_until_ready returns before execution completes — a host fetch
+    # (float()) is the only reliable completion barrier, and it carries a
+    # fixed RPC round-trip latency which we measure and subtract.
     key, k = jax.random.split(key)
     state, metrics = step_fn(state, batches[0], k)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
 
-    iters = 50
+    t0 = time.time()
+    _ = float(metrics["loss"])
+    rtt = time.time() - t0
+
+    iters = 100
     t0 = time.time()
     for i in range(iters):
         key, k = jax.random.split(key)
         state, metrics = step_fn(state, batches[i % len(batches)], k)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.time() - t0
+    _ = float(metrics["loss"])  # forces the whole donated-state chain
+    dt = max(time.time() - t0 - rtt, 1e-9)
 
     rays_per_s = ts.num_random_rays * iters / dt
     print(json.dumps({

@@ -50,6 +50,10 @@ class MaskHeadConfig:
     module: Optional[str] = None
     use_losschoose: bool = False
     use_warp_not_in_head: bool = False
+    # Per-frame latent code width fed to the NeRF MLP trunk. The reference
+    # hardcodes 0 for the shipped models (models.py:275,294); >0 enables the
+    # NerFACE-style learnable per-frame codes.
+    latent_code_dim: int = 0
 
 
 @dataclass

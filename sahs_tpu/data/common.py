@@ -44,10 +44,13 @@ def read_parse_map(path: str, h: int, w: int) -> np.ndarray:
     bgr = cv2.imread(path, cv2.IMREAD_COLOR)
     if bgr is None:
         raise FileNotFoundError(path)
-    flat = bgr.reshape(-1, 3).astype(np.int32)
-    eq = (flat[:, None, :] == PALETTE[None, :, :]).all(axis=-1)  # (N, 12)
-    labels = np.where(eq.any(axis=-1), eq.argmax(axis=-1), 0).astype(np.uint8)
-    labels = labels.reshape(bgr.shape[:2])
+    from ..native import palette_to_labels as native_codec
+    labels = native_codec(bgr)  # C++ fast path; None if lib unavailable
+    if labels is None:
+        flat = bgr.reshape(-1, 3).astype(np.int32)
+        eq = (flat[:, None, :] == PALETTE[None, :, :]).all(axis=-1)
+        labels = np.where(eq.any(axis=-1), eq.argmax(axis=-1), 0).astype(np.uint8)
+        labels = labels.reshape(bgr.shape[:2])
     if labels.shape != (h, w):
         labels = cv2.resize(labels, dsize=(w, h),
                             interpolation=cv2.INTER_NEAREST)
@@ -56,6 +59,26 @@ def read_parse_map(path: str, h: int, w: int) -> np.ndarray:
 
 def labels_to_onehot(labels: np.ndarray) -> np.ndarray:
     return np.eye(NUM_CLASSES, dtype=np.float32)[labels]
+
+
+def gaussian_blur(img: np.ndarray, kernel_size: int = 11,
+                  sigma: float = 11.0) -> np.ndarray:
+    """Depthwise gaussian blur for the optional blurred-background init
+    (reference GaussianSmoothing, nerf-pytorch/nerf/train_utils.py:409-473 +
+    train_stage_rays_auto.py:147-152)."""
+    import cv2
+    return cv2.GaussianBlur(img, (kernel_size, kernel_size), sigma)
+
+
+def average_background(images: np.ndarray, blur: bool = False) -> np.ndarray:
+    """Trainable-background initialization: mean over training frames,
+    optionally blurred (reference train_stage_rays_auto.py:143-157)."""
+    avg = np.mean(images, axis=0).astype(np.float32)
+    if blur:
+        avg = gaussian_blur(avg)
+    h, w = avg.shape[:2]
+    return np.concatenate([avg[..., :3], np.ones((h, w, 1), np.float32),
+                           np.zeros((h, w, 11), np.float32)], axis=-1)
 
 
 def load_background(basedir: str, dataset_type: str, h: int, w: int

@@ -414,6 +414,77 @@ def audio_att_net_apply(params: Params, x: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# MaskGeneratorMLP (NeRF MLP variant with a 1-channel seg head and a latent
+# code input; reference modules.py:76-165 — referenced by config key
+# models.mask.module but never instantiated by the active scripts)
+# ---------------------------------------------------------------------------
+
+def mask_generator_init(key: jax.Array, num_encoding_fn_xyz: int = 10,
+                        num_encoding_fn_dir: int = 4,
+                        include_driving: bool = True,
+                        latent_code_dim: int = 32) -> Params:
+    from ..ops.encoding import encoded_dim
+    dim_xyz = encoded_dim(3, num_encoding_fn_xyz, True)
+    dim_dir = encoded_dim(3, num_encoding_fn_dir, True)
+    input_dim = dim_xyz + latent_code_dim + (DRIVING_DIM if include_driving else 0)
+    keys = jax.random.split(key, 6)
+    return {
+        "trunk": skip_trunk_init(keys[0], input_dim, 256, 6, 3),
+        "fc_feat": linear_init(keys[1], 256, 256),
+        "fc_alpha": linear_init(keys[2], 256, 1),
+        "dir": [linear_init(k, d, 256) for k, d in
+                zip(jax.random.split(keys[3], 4), [256 + dim_dir, 256, 256, 256])],
+        "fc_rgb": linear_init(keys[4], 256, 3),
+        "seg": [linear_init(k, 256, 256) for k in jax.random.split(keys[5], 4)],
+        "fc_seg": linear_init(jax.random.fold_in(keys[5], 7), 256, 1),
+    }
+
+
+def mask_generator_apply(params: Params, xyz_embed: jnp.ndarray,
+                         dirs_embed: jnp.ndarray,
+                         driving: Optional[jnp.ndarray],
+                         latent_code: jnp.ndarray) -> jnp.ndarray:
+    """Output (P, 5) = rgb3 | seg1 | alpha1 (reference modules.py:133-165).
+    Faithful quirk: the reference's seg branch re-reads ``feat`` every layer
+    (a bug — `x = layers_seg[i](feat)`), so only its LAST layer matters;
+    reproduced here by applying only seg[3] to feat."""
+    act = lambda x: leaky_relu(x, 0.01)
+    n = xyz_embed.shape[:-1]
+    parts = [xyz_embed, jnp.broadcast_to(latent_code, n + (latent_code.shape[-1],))]
+    if driving is not None:
+        parts.append(jnp.broadcast_to(driving, n + (DRIVING_DIM,)))
+    x0 = jnp.concatenate(parts, axis=-1)
+    h = skip_trunk_apply(params["trunk"], x0, 3, act)
+    feat = linear(params["fc_feat"], h)
+    alpha = linear(params["fc_alpha"], feat)
+    seg = linear(params["fc_seg"], act(linear(params["seg"][3], feat)))
+    x = act(linear(params["dir"][0], jnp.concatenate([feat, dirs_embed], -1)))
+    for p in params["dir"][1:3]:
+        x = act(linear(p, x))
+    rgb = linear(params["fc_rgb"], x)
+    return jnp.concatenate([rgb, seg, alpha], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# WarpEmbeddingMLP (tiny generic MLP; reference modules.py:298-321, unused)
+# ---------------------------------------------------------------------------
+
+def warp_embedding_init(key: jax.Array, num_layers: int = 4,
+                        hidden_size: int = 64, input_s: int = 36,
+                        output_s: int = 36) -> Params:
+    keys = jax.random.split(key, num_layers)
+    dims = [input_s] + [hidden_size] * (num_layers - 1) + [output_s]
+    return {"layers": [linear_init(k, dims[i], dims[i + 1])
+                       for i, k in enumerate(keys)]}
+
+
+def warp_embedding_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    for p in params["layers"]:
+        x = jax.nn.relu(linear(p, x))
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Spatial-embedding grid
 # ---------------------------------------------------------------------------
 

@@ -66,7 +66,8 @@ class ModelSpec:
         m = cfg.models
         warp = WarpSpec.from_config(m.warp) if m.warp.use_warp else None
         hyper = HyperSpec.from_config(m.hyper) if m.hyper.use_ambient else None
-        coarse = NeRFSpec.from_config(m.coarse, m.hyper)
+        lcd = getattr(m.mask, "latent_code_dim", 0)
+        coarse = NeRFSpec.from_config(m.coarse, m.hyper, latent_code_dim=lcd)
         # The reference builds the fine MLP with the *coarse* width/depth and
         # pose/spatial flags (models.py:278-296) — mirror that.
         fine = None
@@ -78,7 +79,7 @@ class ModelSpec:
             fine_cfg.use_pose = m.coarse.use_pose
             fine_cfg.include_pose = m.coarse.include_pose
             fine_cfg.use_spatial_embeddings = m.coarse.use_spatial_embeddings
-            fine = NeRFSpec.from_config(fine_cfg, m.hyper)
+            fine = NeRFSpec.from_config(fine_cfg, m.hyper, latent_code_dim=lcd)
         return cls(
             kind=m.mask.type,
             use_warp=m.warp.use_warp,
@@ -188,6 +189,88 @@ def query_template(params: Params, spec: ModelSpec, level: str,
                           pose=pose_enc if nerf_spec.use_pose else None,
                           latent_code=latent_code,
                           spatial_embedding=spatial_embedding)
+
+
+def make_field_fn(params: Params, spec: ModelSpec,
+                  driving_or_audio: jnp.ndarray, pose: jnp.ndarray,
+                  latent_code=None, use_pallas: bool = False,
+                  compute_dtype: str = "bfloat16"):
+    """Build the per-point field evaluator used by the render pipeline:
+    field_fn(level, pts_flat, dirs_flat) -> (P, 16).
+
+    use_pallas=True routes the three MLPs through the fused Pallas kernels
+    (ops/pallas/field_mlp.py): per-frame conditioning is folded into biases,
+    all layer activations stay in VMEM. Falls back to the pure-jnp oracle
+    when the configuration isn't kernel-compatible (no viewdirs / latent
+    codes in use)."""
+    driving = compute_driving(params, spec, driving_or_audio)
+    pose_enc = encode_pose(pose)
+
+    pallas_ok = (use_pallas and spec.use_viewdirs and latent_code is None)
+    if not pallas_ok:
+        def field_fn(level, pts_flat, dirs_flat):
+            mapped = map_points(params, spec, pts_flat, driving, pose_enc)
+            se = None
+            if spec.use_spatial_embeddings:
+                se = grid_sample_3d(params["spatial_embeddings"], mapped[..., :3])
+            return query_template(params, spec, level, mapped, dirs_flat,
+                                  driving, pose_enc, latent_code, se)
+        return field_fn
+
+    from ..ops.pallas.field_mlp import (deform_mlp_apply_fused,
+                                        nerf_mlp_apply_fused)
+
+    pe_warp = get_embedding_function(spec.warp_num_encoding_fn_xyz,
+                                     include_input=True, log_sampling=True)
+    pe_pos = get_embedding_function(spec.num_encoding_fn_xyz,
+                                    spec.include_input_xyz, spec.log_sampling_xyz)
+    pe_dir = get_embedding_function(spec.num_encoding_fn_dir,
+                                    spec.include_input_dir, spec.log_sampling_dir)
+    pe_amb = get_embedding_function(spec.num_encoding_fn_ambient,
+                                    spec.include_input_ambient,
+                                    spec.log_sampling_ambient)
+
+    def deform_cond(sub):
+        parts = []
+        if sub.include_driving:
+            parts.append(driving)
+        parts.append(pose_enc)
+        return jnp.concatenate(parts)
+
+    def field_fn(level, pts_flat, dirs_flat):
+        pe_x = pe_warp(pts_flat)
+        warped = pts_flat
+        if spec.use_warp:
+            dx = deform_mlp_apply_fused(
+                params["warp"], spec.warp.num_layers, spec.warp.hidden_size,
+                spec.warp.skip_connect_every, pe_x, deform_cond(spec.warp), 3,
+                out_act="tanh", compute_dtype=compute_dtype)
+            warped = pts_flat + dx
+        pts_embed = pe_pos(warped)
+        if spec.use_ambient:
+            amb = deform_mlp_apply_fused(
+                params["hyper"], spec.hyper.num_layers,
+                spec.hyper.hidden_size, spec.hyper.skip_connect_every, pe_x,
+                deform_cond(spec.hyper), spec.hyper.ambient_coord_dim,
+                out_act="linear", compute_dtype=compute_dtype)
+            pts_embed = jnp.concatenate([pts_embed, pe_amb(amb)], axis=-1)
+        extra = pe_dir(dirs_flat)
+        if spec.use_spatial_embeddings:
+            se = grid_sample_3d(params["spatial_embeddings"], warped)
+            extra = jnp.concatenate([extra, se], axis=-1)
+        nerf_spec: NeRFSpec = getattr(spec, level)
+        cond_parts = []
+        if nerf_spec.include_driving:
+            cond_parts.append(driving)
+        if nerf_spec.use_pose:
+            cond_parts.append(pose_enc)
+        cond = (jnp.concatenate(cond_parts) if cond_parts
+                else jnp.zeros((0,), pts_flat.dtype))
+        return nerf_mlp_apply_fused(
+            params[level], nerf_spec.num_layers, nerf_spec.skip_connect_every,
+            pts_embed, extra, cond, compute_dtype=compute_dtype)
+
+    return field_fn
 
 
 def apply_field(params: Params, spec: ModelSpec, level: str,

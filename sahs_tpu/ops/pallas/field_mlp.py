@@ -1,0 +1,856 @@
+"""Fused Pallas TPU kernels for the field-MLP hot path.
+
+Why: XLA materializes every MLP layer's activations in HBM — for 393k
+points x 256 features x ~20 layers that is gigabytes of HBM traffic per
+step, which dominates the step time. These kernels keep ALL activations in
+VMEM across the whole MLP (weights are VMEM-resident across the point-tile
+grid, ~1-2 MB per network), so HBM traffic collapses to one read of the
+inputs and one write of the outputs per point.
+
+Design (tpu-first, not a translation):
+  - points are tiled along the batch axis (grid = P / TILE); every weight
+    uses a constant index_map so Mosaic keeps it in VMEM for all tiles;
+  - the skip re-concat is algebraically split: cat(h, x0) @ W_skip ==
+    h @ W_h + x0 @ W_x, avoiding odd concat shapes in VMEM;
+  - per-frame conditioning (driving / pose PE) is folded into effective
+    biases OUTSIDE the kernel (one tiny matmul per step), so the kernel's
+    per-point input is only the positional encoding;
+  - backward is a custom_vjp: one Pallas kernel per tile recomputes the
+    forward (activation-derivatives are recovered from outputs: relu/leaky
+    sign, tanh 1-y^2), computes dX on the fly and accumulates dW/db into
+    VMEM-resident output blocks (constant index_map, init at tile 0);
+  - matmuls run on the MXU with preferred_element_type=f32; compute dtype
+    (bf16/f32) is a static switch.
+
+Reference behaviour being fused (for parity): the trunk/head structure of
+WarpFieldMLP / HyperSheetMLP / NeRFMLP (reference nerf-pytorch/nerf/
+modules.py:168-462).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests / debugging)."""
+    return jax.default_backend() != "tpu"
+
+
+def _rup(x: int, m: int = 128) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad2(a, rows: int, cols: int):
+    return jnp.pad(a, ((0, rows - a.shape[0]), (0, cols - a.shape[1])))
+
+
+def _pad_bias(b, cols: int):
+    return jnp.pad(b, (0, cols - b.shape[0]))[None, :]
+
+
+def _act(name: str):
+    if name == "relu":
+        return lambda x: jnp.maximum(x, 0.0)
+    if name == "leaky":
+        return lambda x: jnp.where(x >= 0, x, 0.01 * x)
+    if name == "tanh":
+        return jnp.tanh
+    if name == "linear":
+        return lambda x: x
+    raise ValueError(name)
+
+
+def _dact_from_out(name: str):
+    """Activation derivative recovered from the activation OUTPUT (valid for
+    monotone relu/leaky/tanh; linear)."""
+    if name == "relu":
+        return lambda y: (y > 0).astype(y.dtype)
+    if name == "leaky":
+        return lambda y: jnp.where(y > 0, 1.0, 0.01).astype(y.dtype)
+    if name == "tanh":
+        return lambda y: 1.0 - y * y
+    if name == "linear":
+        return lambda y: jnp.ones_like(y)
+    raise ValueError(name)
+
+
+def _mm(a, b, dtype):
+    # float32 mode must force 3-pass f32 on the MXU (default is bf16).
+    prec = (jax.lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    return jnp.dot(a.astype(dtype), b.astype(dtype),
+                   preferred_element_type=jnp.float32, precision=prec)
+
+
+# ===========================================================================
+# Generic fused skip-trunk MLP (+ single output head): warp / hyper networks
+# ===========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class TrunkSpec:
+    num_layers: int
+    skip_every: int
+    in_dim: int          # padded per-point input dim
+    hidden: int          # padded hidden dim
+    out_dim: int         # padded head output dim
+    act: str = "relu"
+    out_act: str = "linear"
+    compute_dtype: str = "bfloat16"
+
+
+def _trunk_forward(spec: TrunkSpec, x, ws: Sequence, bs: Sequence,
+                   keep: bool = False):
+    """Shared trunk math on VMEM values. ws layout: [W0, W1.., (Wh,Wx) at
+    skip, ...]; returns final hidden (and all activations when keep)."""
+    act = _act(spec.act)
+    cdt = jnp.dtype(spec.compute_dtype)
+    acts = []
+    h = act(_mm(x, ws[0], cdt) + bs[0])
+    if keep:
+        acts.append(h)
+    wi = 1
+    for i in range(1, spec.num_layers):
+        if i == spec.skip_every:
+            wh, wx = ws[wi]
+            h = act(_mm(h, wh, cdt) + _mm(x, wx, cdt) + bs[wi])
+        else:
+            h = act(_mm(h, ws[wi], cdt) + bs[wi])
+        if keep:
+            acts.append(h)
+        wi += 1
+    return (h, acts) if keep else h
+
+
+def _flatten_trunk_weights(spec: TrunkSpec, trunk_params, out_params):
+    """Pad + split the pytree weights into the kernel's positional layout.
+    Returns (flat_arrays, unflatten_info)."""
+    D, H, O = spec.in_dim, spec.hidden, spec.out_dim
+    flat = []
+    for i, p in enumerate(trunk_params):
+        w = p["w"]
+        if i == 0:
+            flat.append(_pad2(w, D, H))
+        elif i == spec.skip_every:
+            # rows are [hidden part ; x0 part], matching the reference's
+            # cat(h, x0) order (modules.py:268-273)
+            hid = w.shape[1]
+            flat.append(_pad2(w[:hid], H, H))
+            flat.append(_pad2(w[hid:], D, H))
+        else:
+            flat.append(_pad2(w, H, H))
+        flat.append(_pad_bias(p["b"], H))
+    flat.append(_pad2(out_params["w"], H, O))
+    flat.append(_pad_bias(out_params["b"], O))
+    return flat
+
+
+def _unflatten_trunk_weights(spec: TrunkSpec, flat):
+    """Regroup the flat kernel-arg list into (ws, bs, wo, bo) where ws
+    entries are arrays or (wh, wx) tuples."""
+    ws, bs = [], []
+    it = iter(flat)
+    for i in range(spec.num_layers):
+        if i == spec.skip_every and i > 0:
+            wh = next(it)
+            wx = next(it)
+            ws.append((wh, wx))
+        else:
+            ws.append(next(it))
+        bs.append(next(it))
+    wo = next(it)
+    bo = next(it)
+    return ws, bs, wo, bo
+
+
+def skip_mlp_forward(spec: TrunkSpec, x: jnp.ndarray, trunk_params,
+                     out_params, extra_bias=None) -> jnp.ndarray:
+    """x: (P, raw_in) unpadded; returns (P, raw_out).
+    extra_bias: optional (H,)-broadcast additions per layer (already folded
+    into biases by the caller via fold_conditioning)."""
+    P = x.shape[0]
+    Pp = _rup(P, TILE)
+    xp = jnp.pad(x, ((0, Pp - P), (0, spec.in_dim - x.shape[1])))
+    flat = _flatten_trunk_weights(spec, trunk_params, out_params)
+    n_flat = len(flat)
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:n_flat]
+        o_ref = refs[n_flat]
+        ws, bs, wo, bo = _unflatten_trunk_weights(spec, [r[:] for r in w_refs])
+        h = _trunk_forward(spec, x_ref[:], ws, bs)
+        y = _act(spec.out_act)(
+            _mm(h, wo, jnp.dtype(spec.compute_dtype)) + bo)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Pp // TILE,),
+        in_specs=[pl.BlockSpec((TILE, spec.in_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat],
+        out_specs=pl.BlockSpec((TILE, spec.out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, spec.out_dim), x.dtype),
+        interpret=_interpret(),
+    )(xp, *flat)
+    return out[:P]
+
+
+def fold_conditioning(trunk_params, cond: jnp.ndarray, pe_dim: int):
+    """Fold the per-frame conditioning tail (driving ⊕ pose, constant across
+    points) into effective biases: for the input and skip layers, whose
+    weight rows beyond ``pe_dim`` multiply the conditioning, compute
+    b_eff = b + cond @ W[pe_dim:]. Returns new trunk params whose weights
+    only keep the first ``pe_dim`` rows. Exact up to fp reassociation."""
+    new_params = []
+    for i, p in enumerate(trunk_params):
+        w, b = p["w"], p["b"]
+        if i == 0:
+            b_eff = b + jnp.dot(cond, w[pe_dim:],
+                                precision=jax.lax.Precision.HIGHEST)
+            new_params.append({"w": w[:pe_dim], "b": b_eff})
+        else:
+            new_params.append(p)
+    return new_params
+
+
+def fold_skip_conditioning(spec_num_hidden: int, trunk_params, skip_every: int,
+                           cond: jnp.ndarray, pe_dim: int):
+    """Same folding for the skip layer: its weight rows are
+    [hidden ; pe ; cond]."""
+    new_params = list(trunk_params)
+    p = trunk_params[skip_every]
+    w, b = p["w"], p["b"]
+    h = spec_num_hidden
+    b_eff = b + jnp.dot(cond, w[h + pe_dim:],
+                        precision=jax.lax.Precision.HIGHEST)
+    new_params[skip_every] = {"w": w[:h + pe_dim], "b": b_eff}
+    return new_params
+
+
+# ===========================================================================
+# Backward: per-tile recompute + VMEM-accumulated weight grads
+# ===========================================================================
+
+BWD_TILE = 512  # bwd holds weights + dW accumulators + per-tile activations
+                # in VMEM (~20 MB at 512 points; vmem_limit_bytes raised on
+                # the bwd pallas_calls). Small tiles are grid-overhead-bound.
+
+
+def _trunk_backward(spec: TrunkSpec, x, ws, bs, acts, ga):
+    """Backprop through the trunk given d(final hidden) = ga.
+    Returns (gx, dws, dbs) where dws mirrors ws structure."""
+    cdt = jnp.dtype(spec.compute_dtype)
+    dact = _dact_from_out(spec.act)
+    dws: List = [None] * len(ws)
+    dbs: List = [None] * len(bs)
+    gx = jnp.zeros_like(x)
+    for i in range(spec.num_layers - 1, -1, -1):
+        gz = ga * dact(acts[i])
+        a_prev = x if i == 0 else acts[i - 1]
+        if i == spec.skip_every and i > 0:
+            wh, wx = ws[i]
+            dws[i] = (_mm(a_prev.T, gz, cdt), _mm(x.T, gz, cdt))
+            gx = gx + _mm(gz, wx.T, cdt)
+            ga = _mm(gz, wh.T, cdt)
+        else:
+            dws[i] = _mm(a_prev.T, gz, cdt)
+            if i == 0:
+                gx = gx + _mm(gz, ws[0].T, cdt)
+            else:
+                ga = _mm(gz, ws[i].T, cdt)
+        dbs[i] = jnp.sum(gz, axis=0, keepdims=True)
+    return gx, dws, dbs
+
+
+def _accumulate(refs, values, first):
+    """Write-or-accumulate each value into its (constant-index) output ref."""
+    for r, v in zip(refs, values):
+        @pl.when(first)
+        def _(r=r, v=v):
+            r[:] = v.astype(r.dtype)
+
+        @pl.when(jnp.logical_not(first))
+        def _(r=r, v=v):
+            r[:] = r[:] + v.astype(r.dtype)
+
+
+def skip_mlp_vjp(spec: TrunkSpec, x: jnp.ndarray, trunk_params, out_params,
+                 g: jnp.ndarray):
+    """Backward pass of skip_mlp_forward. g: (P, raw_out) cotangent.
+    Returns (gx (P, raw_in), trunk_grads, out_grads)."""
+    P = x.shape[0]
+    Pp = _rup(P, BWD_TILE)
+    raw_in = x.shape[1]
+    xp = jnp.pad(x, ((0, Pp - P), (0, spec.in_dim - raw_in)))
+    gp = jnp.pad(g, ((0, Pp - P), (0, spec.out_dim - g.shape[1])))
+    flat = _flatten_trunk_weights(spec, trunk_params, out_params)
+    n_flat = len(flat)
+    n_grid = Pp // BWD_TILE
+
+    def kernel(x_ref, g_ref, *refs):
+        w_refs = refs[:n_flat]
+        gx_ref = refs[n_flat]
+        dw_refs = refs[n_flat + 1:]
+        vals = [r[:] for r in w_refs]
+        ws, bs, wo, bo = _unflatten_trunk_weights(spec, vals)
+        cdt = jnp.dtype(spec.compute_dtype)
+        x_t = x_ref[:]
+        h, acts = _trunk_forward(spec, x_t, ws, bs, keep=True)
+        y = _act(spec.out_act)(_mm(h, wo, cdt) + bo)
+        gz = g_ref[:] * _dact_from_out(spec.out_act)(y)
+        dwo = _mm(h.T, gz, cdt)
+        dbo = jnp.sum(gz, axis=0, keepdims=True)
+        ga = _mm(gz, wo.T, cdt)
+        gx, dws, dbs = _trunk_backward(spec, x_t, ws, bs, acts, ga)
+        gx_ref[:] = gx.astype(gx_ref.dtype)
+        # flatten grads to the same order as `flat`
+        grads = []
+        for i in range(spec.num_layers):
+            if i == spec.skip_every and i > 0:
+                grads.extend([dws[i][0], dws[i][1]])
+            else:
+                grads.append(dws[i])
+            grads.append(dbs[i])
+        grads.extend([dwo, dbo])
+        _accumulate(dw_refs, grads, pl.program_id(0) == 0)
+
+    out_shapes = ([jax.ShapeDtypeStruct((Pp, spec.in_dim), x.dtype)]
+                  + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
+    out_specs = ([pl.BlockSpec((BWD_TILE, spec.in_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((BWD_TILE, spec.in_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BWD_TILE, spec.out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, gp, *flat)
+
+    gx = outs[0][:P, :raw_in]
+    flat_grads = outs[1:]
+    # unpad back into the param pytrees
+    it = iter(flat_grads)
+    trunk_grads = []
+    for i, p in enumerate(trunk_params):
+        w = p["w"]
+        if i == 0:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        elif i == spec.skip_every:
+            hid = w.shape[1]
+            dwh = next(it)
+            dwx = next(it)
+            dw = jnp.concatenate([dwh[:hid, :hid],
+                                  dwx[:w.shape[0] - hid, :hid]], axis=0)
+        else:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        trunk_grads.append({"w": dw, "b": db})
+    wo = out_params["w"]
+    dwo = next(it)[:wo.shape[0], :wo.shape[1]]
+    dbo = next(it)[0, :out_params["b"].shape[0]]
+    return gx, trunk_grads, {"w": dwo, "b": dbo}
+
+
+# ===========================================================================
+# Public fast-path wrappers for the deformation networks
+# ===========================================================================
+
+def _unfold_cond_grads(raw_trunk, folded_grads, cond, skip_every: int,
+                       hidden: int, pe_dim: int):
+    """Invert fold_conditioning for the gradients: the folded layers' weight
+    grads only cover the pe rows; the conditioning rows' grads are
+    outer(cond, db) (b_eff = b + cond @ W_tail), and d(cond) accumulates
+    W_tail @ db from both folded layers."""
+    out_grads = []
+    dcond = jnp.zeros_like(cond)
+    for i, (p, gfold) in enumerate(zip(raw_trunk, folded_grads)):
+        w = p["w"]
+        db = gfold["b"]
+        if i == 0:
+            tail = w[pe_dim:]
+            dw = jnp.concatenate([gfold["w"],
+                                  jnp.outer(cond, db)], axis=0)
+            dcond = dcond + jnp.dot(tail, db,
+                                    precision=jax.lax.Precision.HIGHEST)
+        elif i == skip_every:
+            tail = w[hidden + pe_dim:]
+            dw = jnp.concatenate([gfold["w"], jnp.outer(cond, db)], axis=0)
+            dcond = dcond + jnp.dot(tail, db,
+                                    precision=jax.lax.Precision.HIGHEST)
+        else:
+            dw = gfold["w"]
+        out_grads.append({"w": dw, "b": db})
+    return out_grads, dcond
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _deform_fused(num_layers, hidden, skip_every, out_dim, out_act,
+                  compute_dtype, params, pe_x, cond):
+    pe_dim = pe_x.shape[-1]
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    spec = TrunkSpec(num_layers=num_layers, skip_every=skip_every,
+                     in_dim=_rup(pe_dim), hidden=_rup(hidden),
+                     out_dim=_rup(out_dim), act="relu", out_act=out_act,
+                     compute_dtype=compute_dtype)
+    out = skip_mlp_forward(spec, pe_x, trunk, params["out"])
+    return out[:, :out_dim]
+
+
+def _deform_fused_fwd(num_layers, hidden, skip_every, out_dim, out_act,
+                      compute_dtype, params, pe_x, cond):
+    y = _deform_fused(num_layers, hidden, skip_every, out_dim, out_act,
+                      compute_dtype, params, pe_x, cond)
+    return y, (params, pe_x, cond)
+
+
+def _deform_fused_bwd(num_layers, hidden, skip_every, out_dim, out_act,
+                      compute_dtype, res, g):
+    params, pe_x, cond = res
+    pe_dim = pe_x.shape[-1]
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    spec = TrunkSpec(num_layers=num_layers, skip_every=skip_every,
+                     in_dim=_rup(pe_dim), hidden=_rup(hidden),
+                     out_dim=_rup(out_dim), act="relu", out_act=out_act,
+                     compute_dtype=compute_dtype)
+    gx, trunk_grads_folded, out_grads = skip_mlp_vjp(spec, pe_x, trunk,
+                                                     params["out"], g)
+    trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
+                                            trunk_grads_folded, cond,
+                                            skip_every, hidden, pe_dim)
+    return ({"trunk": trunk_grads, "out": out_grads}, gx, dcond)
+
+
+_deform_fused.defvjp(_deform_fused_fwd, _deform_fused_bwd)
+
+
+def deform_mlp_apply_fused(params, num_layers: int, hidden: int,
+                           skip_every: int, pe_x: jnp.ndarray,
+                           cond: jnp.ndarray, out_dim: int,
+                           out_act: str = "linear",
+                           compute_dtype: str = "bfloat16") -> jnp.ndarray:
+    """Fused warp/hyper-sheet MLP: pe_x (P, pe_dim), cond (76+36,) per-frame
+    conditioning. Equivalent to fields.warp_field_apply /
+    hyper_sheet_apply up to fp reassociation. Differentiable (custom VJP
+    with per-tile recompute + VMEM-accumulated weight grads)."""
+    return _deform_fused(num_layers, hidden, skip_every, out_dim, out_act,
+                         compute_dtype, params, pe_x, cond)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _nerf_fused(num_layers, skip_every, pe_dim, compute_dtype, params,
+                pts_embed, dir_extra, cond):
+    hidden = params["fc_feat"]["w"].shape[1]
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    p2 = dict(params)
+    p2["trunk"] = trunk
+    spec = NerfKernelSpec(num_layers=num_layers, skip_every=skip_every,
+                          in_dim=_rup(pe_dim), hidden=_rup(hidden),
+                          branch=_rup(hidden // 2),
+                          extra_dim=_rup(dir_extra.shape[-1]),
+                          compute_dtype=compute_dtype)
+    return nerf_mlp_forward_fused(spec, pts_embed, dir_extra, p2)
+
+
+def _nerf_fused_fwd(num_layers, skip_every, pe_dim, compute_dtype, params,
+                    pts_embed, dir_extra, cond):
+    y = _nerf_fused(num_layers, skip_every, pe_dim, compute_dtype, params,
+                    pts_embed, dir_extra, cond)
+    return y, (params, pts_embed, dir_extra, cond)
+
+
+def _nerf_fused_bwd(num_layers, skip_every, pe_dim, compute_dtype, res, g):
+    params, pts_embed, dir_extra, cond = res
+    hidden = params["fc_feat"]["w"].shape[1]
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    p2 = dict(params)
+    p2["trunk"] = trunk
+    spec = NerfKernelSpec(num_layers=num_layers, skip_every=skip_every,
+                          in_dim=_rup(pe_dim), hidden=_rup(hidden),
+                          branch=_rup(hidden // 2),
+                          extra_dim=_rup(dir_extra.shape[-1]),
+                          compute_dtype=compute_dtype)
+    gx, gextra, grads_folded = nerf_mlp_vjp(spec, pts_embed, dir_extra, p2, g)
+    trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
+                                            grads_folded["trunk"], cond,
+                                            skip_every, hidden, pe_dim)
+    grads = dict(grads_folded)
+    grads["trunk"] = trunk_grads
+    return (grads, gx, gextra, dcond)
+
+
+_nerf_fused.defvjp(_nerf_fused_fwd, _nerf_fused_bwd)
+
+
+def nerf_mlp_apply_fused(params, num_layers: int, skip_every: int,
+                         pts_embed: jnp.ndarray, dir_extra: jnp.ndarray,
+                         cond: jnp.ndarray,
+                         compute_dtype: str = "bfloat16") -> jnp.ndarray:
+    """Fused NeRFMLP: pts_embed (P, pe_xyz+pe_amb), dir_extra
+    (P, pe_dir [+ spatial_embedding]), cond = per-frame trunk conditioning
+    (pose PE and/or driving, concatenated in the reference's input order).
+    Returns (P, 16) raw field. Differentiable."""
+    return _nerf_fused(num_layers, skip_every, pts_embed.shape[-1],
+                       compute_dtype, params, pts_embed, dir_extra, cond)
+
+
+# ===========================================================================
+# Fused NeRFMLP (trunk + feat/alpha + dir branch + seg branch)
+# ===========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class NerfKernelSpec:
+    num_layers: int
+    skip_every: int
+    in_dim: int        # padded pe(xyz)+pe(ambient) dim
+    hidden: int        # padded trunk hidden (256)
+    branch: int        # padded branch hidden (128)
+    extra_dim: int     # padded dir-branch extra input (pe_dir [+ se]) dim
+    compute_dtype: str = "bfloat16"
+
+    # output layout in the padded (TILE, 128) block
+    OUT_DIM = 128
+
+
+def _flatten_nerf_weights(spec: NerfKernelSpec, params):
+    """Pad + split NeRFMLP params into the kernel's positional layout.
+    dir layer 0 rows are [feat ; extra] per the reference concat order
+    (modules.py:276-280)."""
+    D, H, B, E = spec.in_dim, spec.hidden, spec.branch, spec.extra_dim
+    flat = []
+    for i, p in enumerate(params["trunk"]):
+        if i == 0:
+            flat.append(_pad2(p["w"], D, H))
+        elif i == spec.skip_every:
+            hid = p["w"].shape[1]
+            flat.append(_pad2(p["w"][:hid], H, H))
+            flat.append(_pad2(p["w"][hid:], D, H))
+        else:
+            flat.append(_pad2(p["w"], H, H))
+        flat.append(_pad_bias(p["b"], H))
+    flat.append(_pad2(params["fc_feat"]["w"], H, H))
+    flat.append(_pad_bias(params["fc_feat"]["b"], H))
+    flat.append(_pad2(params["fc_alpha"]["w"], H, 128))
+    flat.append(_pad_bias(params["fc_alpha"]["b"], 128))
+    d0 = params["dir"][0]
+    hid = params["fc_feat"]["w"].shape[1]
+    flat.append(_pad2(d0["w"][:hid], H, B))       # feat part
+    flat.append(_pad2(d0["w"][hid:], E, B))       # extra part
+    flat.append(_pad_bias(d0["b"], B))
+    for p in params["dir"][1:]:
+        flat.append(_pad2(p["w"], B, B))
+        flat.append(_pad_bias(p["b"], B))
+    flat.append(_pad2(params["fc_rgb"]["w"], B, 128))
+    flat.append(_pad_bias(params["fc_rgb"]["b"], 128))
+    flat.append(_pad2(params["seg"][0]["w"], H, B))
+    flat.append(_pad_bias(params["seg"][0]["b"], B))
+    for p in params["seg"][1:]:
+        flat.append(_pad2(p["w"], B, B))
+        flat.append(_pad_bias(p["b"], B))
+    flat.append(_pad2(params["fc_seg"]["w"], B, 128))
+    flat.append(_pad_bias(params["fc_seg"]["b"], 128))
+    return flat
+
+
+def _nerf_forward_math(spec: NerfKernelSpec, x, extra, vals,
+                       keep: bool = False):
+    """Forward math shared by fwd and bwd kernels. vals = unpadded ref
+    values in _flatten_nerf_weights order."""
+    cdt = jnp.dtype(spec.compute_dtype)
+    leaky = _act("leaky")
+    it = iter(vals)
+    ws, bs = [], []
+    for i in range(spec.num_layers):
+        if i == spec.skip_every and i > 0:
+            ws.append((next(it), next(it)))
+        else:
+            ws.append(next(it))
+        bs.append(next(it))
+    wf, bf = next(it), next(it)
+    wa, ba = next(it), next(it)
+    wd0f, wd0e, bd0 = next(it), next(it), next(it)
+    dir_rest = [(next(it), next(it)) for _ in range(3)]
+    wrgb, brgb = next(it), next(it)
+    ws0, bs0 = next(it), next(it)
+    seg_rest = [(next(it), next(it)) for _ in range(3)]
+    wseg, bseg = next(it), next(it)
+
+    acts = {}
+    tspec = TrunkSpec(spec.num_layers, spec.skip_every, spec.in_dim,
+                      spec.hidden, 0, act="leaky",
+                      compute_dtype=spec.compute_dtype)
+    if keep:
+        h, trunk_acts = _trunk_forward(tspec, x, ws, bs, keep=True)
+        acts["trunk"] = trunk_acts
+    else:
+        h = _trunk_forward(tspec, x, ws, bs)
+    feat = _mm(h, wf, cdt) + bf          # linear (modules.py:274)
+    alpha = _mm(feat, wa, cdt) + ba      # (TILE, 128), col 0 is alpha
+    d = leaky(_mm(feat, wd0f, cdt) + _mm(extra, wd0e, cdt) + bd0)
+    dacts = [d]
+    for wd, bd in dir_rest:
+        d = leaky(_mm(d, wd, cdt) + bd)
+        dacts.append(d)
+    rgb = _mm(d, wrgb, cdt) + brgb       # (TILE, 128), cols 0:3
+    s = leaky(_mm(feat, ws0, cdt) + bs0)
+    sacts = [s]
+    for wsk, bsk in seg_rest:
+        s = leaky(_mm(s, wsk, cdt) + bsk)
+        sacts.append(s)
+    seg = _mm(s, wseg, cdt) + bseg       # (TILE, 128), cols 0:12
+    if keep:
+        acts.update(feat=feat, dacts=dacts, sacts=sacts)
+        weights = dict(ws=ws, bs=bs, wf=wf, wa=wa, wd0f=wd0f, wd0e=wd0e,
+                       dir_rest=dir_rest, wrgb=wrgb, ws0=ws0,
+                       seg_rest=seg_rest, wseg=wseg)
+        return rgb, seg, alpha, acts, weights
+    return rgb, seg, alpha
+
+
+def nerf_mlp_vjp(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
+                 dir_extra: jnp.ndarray, params, g: jnp.ndarray):
+    """Backward of nerf_mlp_forward_fused: g (P, 16) -> (gx, gextra,
+    flat_param_grads in _flatten_nerf_weights order, unpadded pytree)."""
+    P = pts_embed.shape[0]
+    Pp = _rup(P, BWD_TILE)
+    raw_in = pts_embed.shape[1]
+    raw_extra = dir_extra.shape[1]
+    xp = jnp.pad(pts_embed, ((0, Pp - P), (0, spec.in_dim - raw_in)))
+    ep = jnp.pad(dir_extra, ((0, Pp - P), (0, spec.extra_dim - raw_extra)))
+    gp = jnp.pad(g, ((0, Pp - P), (0, 128 - g.shape[1])))
+    flat = _flatten_nerf_weights(spec, params)
+    n_flat = len(flat)
+    n_grid = Pp // BWD_TILE
+    leakyd = _dact_from_out("leaky")
+
+    def kernel(x_ref, e_ref, g_ref, *refs):
+        w_refs = refs[:n_flat]
+        gx_ref = refs[n_flat]
+        ge_ref = refs[n_flat + 1]
+        dw_refs = refs[n_flat + 2:]
+        vals = [r[:] for r in w_refs]
+        cdt = jnp.dtype(spec.compute_dtype)
+        x_t = x_ref[:]
+        e_t = e_ref[:]
+        rgb, seg, alpha, acts, W = _nerf_forward_math(spec, x_t, e_t, vals,
+                                                      keep=True)
+        g_t = g_ref[:]
+        # split + left-align the cotangent into per-head padded blocks
+        # (concat instead of .at[].set: Mosaic lacks a scatter lowering)
+        grgb = jnp.concatenate(
+            [g_t[:, :3], jnp.zeros_like(g_t[:, :125])], axis=-1)
+        gseg = jnp.concatenate(
+            [g_t[:, 3:15], jnp.zeros_like(g_t[:, :116])], axis=-1)
+        galpha = jnp.concatenate(
+            [g_t[:, 15:16], jnp.zeros_like(g_t[:, :127])], axis=-1)
+
+        feat = acts["feat"]
+        dacts = acts["dacts"]
+        sacts = acts["sacts"]
+
+        # seg head
+        dwseg = _mm(sacts[3].T, gseg, cdt)
+        dbseg = jnp.sum(gseg, axis=0, keepdims=True)
+        gs = _mm(gseg, W["wseg"].T, cdt)
+        seg_grads = []
+        for k in range(3, 0, -1):
+            gz = gs * leakyd(sacts[k])
+            wsk, _ = W["seg_rest"][k - 1]
+            a_prev = sacts[k - 1]
+            seg_grads.append((_mm(a_prev.T, gz, cdt),
+                              jnp.sum(gz, axis=0, keepdims=True)))
+            gs = _mm(gz, wsk.T, cdt)
+        gz0 = gs * leakyd(sacts[0])
+        dws0 = _mm(feat.T, gz0, cdt)
+        dbs0 = jnp.sum(gz0, axis=0, keepdims=True)
+        gfeat = _mm(gz0, W["ws0"].T, cdt)
+
+        # dir head
+        dwrgb = _mm(dacts[3].T, grgb, cdt)
+        dbrgb = jnp.sum(grgb, axis=0, keepdims=True)
+        gd = _mm(grgb, W["wrgb"].T, cdt)
+        dir_grads = []
+        for k in range(3, 0, -1):
+            gz = gd * leakyd(dacts[k])
+            wd, _ = W["dir_rest"][k - 1]
+            a_prev = dacts[k - 1]
+            dir_grads.append((_mm(a_prev.T, gz, cdt),
+                              jnp.sum(gz, axis=0, keepdims=True)))
+            gd = _mm(gz, wd.T, cdt)
+        gzd0 = gd * leakyd(dacts[0])
+        dwd0f = _mm(feat.T, gzd0, cdt)
+        dwd0e = _mm(e_t.T, gzd0, cdt)
+        dbd0 = jnp.sum(gzd0, axis=0, keepdims=True)
+        gfeat = gfeat + _mm(gzd0, W["wd0f"].T, cdt)
+        gextra = _mm(gzd0, W["wd0e"].T, cdt)
+
+        # alpha head
+        dwa = _mm(feat.T, galpha, cdt)
+        dba = jnp.sum(galpha, axis=0, keepdims=True)
+        gfeat = gfeat + _mm(galpha, W["wa"].T, cdt)
+
+        # feat (linear)
+        h_last = acts["trunk"][-1]
+        dwf = _mm(h_last.T, gfeat, cdt)
+        dbf = jnp.sum(gfeat, axis=0, keepdims=True)
+        gh = _mm(gfeat, W["wf"].T, cdt)
+
+        tspec = TrunkSpec(spec.num_layers, spec.skip_every, spec.in_dim,
+                          spec.hidden, 0, act="leaky",
+                          compute_dtype=spec.compute_dtype)
+        gx, dws, dbs = _trunk_backward(tspec, x_t, W["ws"], W["bs"],
+                                       acts["trunk"], gh)
+        gx_ref[:] = gx.astype(gx_ref.dtype)
+        ge_ref[:] = gextra.astype(ge_ref.dtype)
+
+        grads = []
+        for i in range(spec.num_layers):
+            if i == spec.skip_every and i > 0:
+                grads.extend([dws[i][0], dws[i][1]])
+            else:
+                grads.append(dws[i])
+            grads.append(dbs[i])
+        grads.extend([dwf, dbf, dwa, dba, dwd0f, dwd0e, dbd0])
+        for dw, db in reversed(dir_grads):
+            grads.extend([dw, db])
+        grads.extend([dwrgb, dbrgb, dws0, dbs0])
+        for dw, db in reversed(seg_grads):
+            grads.extend([dw, db])
+        grads.extend([dwseg, dbseg])
+        _accumulate(dw_refs, grads, pl.program_id(0) == 0)
+
+    out_shapes = ([jax.ShapeDtypeStruct((Pp, spec.in_dim), pts_embed.dtype),
+                   jax.ShapeDtypeStruct((Pp, spec.extra_dim), pts_embed.dtype)]
+                  + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
+    out_specs = ([pl.BlockSpec((BWD_TILE, spec.in_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BWD_TILE, spec.extra_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((BWD_TILE, spec.in_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BWD_TILE, spec.extra_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BWD_TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, ep, gp, *flat)
+
+    gx = outs[0][:P, :raw_in]
+    gextra = outs[1][:P, :raw_extra]
+    flat_grads = list(outs[2:])
+
+    # unpad into the param pytree
+    it = iter(flat_grads)
+    grads_tree = {"trunk": [], "dir": [], "seg": []}
+    for i, p in enumerate(params["trunk"]):
+        w = p["w"]
+        if i == 0:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        elif i == spec.skip_every:
+            hid = w.shape[1]
+            dwh = next(it)
+            dwx = next(it)
+            dw = jnp.concatenate([dwh[:hid, :hid],
+                                  dwx[:w.shape[0] - hid, :hid]], axis=0)
+        else:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        grads_tree["trunk"].append({"w": dw, "b": db})
+
+    def head(p):
+        dw = next(it)[:p["w"].shape[0], :p["w"].shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        return {"w": dw, "b": db}
+
+    grads_tree["fc_feat"] = head(params["fc_feat"])
+    grads_tree["fc_alpha"] = head(params["fc_alpha"])
+    d0 = params["dir"][0]
+    hid = params["fc_feat"]["w"].shape[1]
+    dwd0f = next(it)
+    dwd0e = next(it)
+    dw0 = jnp.concatenate([dwd0f[:hid, :d0["w"].shape[1]],
+                           dwd0e[:d0["w"].shape[0] - hid, :d0["w"].shape[1]]],
+                          axis=0)
+    db0 = next(it)[0, :d0["b"].shape[0]]
+    grads_tree["dir"].append({"w": dw0, "b": db0})
+    for p in params["dir"][1:]:
+        grads_tree["dir"].append(head(p))
+    grads_tree["fc_rgb"] = head(params["fc_rgb"])
+    for p in params["seg"]:
+        grads_tree["seg"].append(head(p))
+    grads_tree["fc_seg"] = head(params["fc_seg"])
+    return gx, gextra, grads_tree
+
+
+def nerf_mlp_forward_fused(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
+                           dir_extra: jnp.ndarray, params) -> jnp.ndarray:
+    """pts_embed (P, raw_in), dir_extra (P, raw_extra) -> (P, 16) raw field
+    [rgb3 | seg12 | alpha1], matching fields.nerf_mlp_apply."""
+    P = pts_embed.shape[0]
+    Pp = _rup(P, TILE)
+    xp = jnp.pad(pts_embed, ((0, Pp - P), (0, spec.in_dim - pts_embed.shape[1])))
+    ep = jnp.pad(dir_extra, ((0, Pp - P), (0, spec.extra_dim - dir_extra.shape[1])))
+    flat = _flatten_nerf_weights(spec, params)
+    n_flat = len(flat)
+
+    def kernel(x_ref, e_ref, *refs):
+        w_refs = refs[:n_flat]
+        o_ref = refs[n_flat]
+        vals = [r[:] for r in w_refs]
+        rgb, seg, alpha, = _nerf_forward_math(spec, x_ref[:], e_ref[:], vals)
+        out = jnp.concatenate(
+            [rgb[:, :3], seg[:, :12], alpha[:, :1],
+             jnp.zeros((rgb.shape[0], 112), rgb.dtype)], axis=-1)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Pp // TILE,),
+        in_specs=[pl.BlockSpec((TILE, spec.in_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE, spec.extra_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat],
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, 128), pts_embed.dtype),
+        interpret=_interpret(),
+    )(xp, ep, *flat)
+    return out[:P, :16]

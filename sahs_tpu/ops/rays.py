@@ -52,6 +52,29 @@ def get_ray_bundle(height: int, width: int, intrinsics: jnp.ndarray,
     return ray_origins, ray_directions
 
 
+def get_rays_at(flat_idx: jnp.ndarray, height: int, width: int,
+                intrinsics: jnp.ndarray, tform_cam2world: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray origins/directions for a set of flat pixel indices (row-major
+    h*W+w), identical math to get_ray_bundle but computed only at the
+    selected pixels — avoids building the full H*W bundle per train step."""
+    intrinsics = jnp.asarray(intrinsics)
+    c2w = jnp.asarray(tform_cam2world)
+    ii = (flat_idx % width).astype(c2w.dtype)
+    jj = (flat_idx // width).astype(c2w.dtype)
+    dirs = jnp.stack(
+        [
+            (ii - width * intrinsics[2]) / intrinsics[0],
+            -(jj - height * intrinsics[3]) / intrinsics[1],
+            -jnp.ones_like(ii),
+        ],
+        axis=-1,
+    )
+    ray_directions = jnp.sum(dirs[..., None, :] * c2w[:3, :3], axis=-1)
+    ray_origins = jnp.broadcast_to(c2w[:3, -1], ray_directions.shape)
+    return ray_origins, ray_directions
+
+
 def get_ray_bundle_by_mask(height: int, width: int, intrinsics: jnp.ndarray,
                            tform_cam2world: jnp.ndarray,
                            mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

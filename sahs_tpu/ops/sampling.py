@@ -116,7 +116,13 @@ def weighted_ray_indices(key: jax.Array, probs_flat: jnp.ndarray,
                                       shape=(num_rays,))
     g = jax.random.gumbel(key, probs_flat.shape, dtype=probs_flat.dtype)
     scores = jnp.log(probs_flat + 1e-12) + g
-    _, idx = jax.lax.top_k(scores, num_rays)
+    if jax.default_backend() == "tpu":
+        # approx_max_k uses the TPU's hardware-accelerated partial sort —
+        # the draw is random anyway, so approximate top-k only perturbs the
+        # (already stochastic) sample negligibly.
+        _, idx = jax.lax.approx_max_k(scores, num_rays)
+    else:
+        _, idx = jax.lax.top_k(scores, num_rays)
     return idx
 
 

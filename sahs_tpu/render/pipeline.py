@@ -41,9 +41,12 @@ class RenderSettings:
     radiance_field_noise_std: float = 0.0
     white_background: bool = False
     chunksize: int = 131072
+    use_pallas: bool = False      # fused Pallas field kernels (TPU fast path)
+    compute_dtype: str = "bfloat16"
 
     @classmethod
-    def from_mode_config(cls, mc: NerfModeConfig) -> "RenderSettings":
+    def from_mode_config(cls, mc: NerfModeConfig, use_pallas: bool = False,
+                         compute_dtype: str = "bfloat16") -> "RenderSettings":
         return cls(
             num_coarse=mc.num_coarse,
             num_fine=mc.num_fine,
@@ -52,11 +55,15 @@ class RenderSettings:
             radiance_field_noise_std=float(mc.radiance_field_noise_std),
             white_background=bool(mc.white_background),
             chunksize=int(mc.chunksize),
+            use_pallas=bool(use_pallas),
+            compute_dtype=compute_dtype,
         )
 
     @classmethod
     def from_config(cls, cfg: Config, mode: str) -> "RenderSettings":
-        return cls.from_mode_config(getattr(cfg.nerf, mode))
+        return cls.from_mode_config(getattr(cfg.nerf, mode),
+                                    use_pallas=cfg.runtime.use_pallas,
+                                    compute_dtype=cfg.runtime.compute_dtype)
 
 
 class RayRenderResult(NamedTuple):
@@ -101,18 +108,10 @@ def render_rays(
     # Shared per-frame conditioning, computed once (the reference recomputes
     # per chunk/level with identical results, models.py:514-521).
     if field_fn is None:
-        driving = nerface.compute_driving(params, spec, driving_or_audio)
-        pose_enc = nerface.encode_pose(pose)
-
-        def field_fn(level, pts_flat, dirs_flat):
-            mapped = nerface.map_points(params, spec, pts_flat, driving, pose_enc)
-            se = None
-            if spec.use_spatial_embeddings:
-                from ..ops.grid import grid_sample_3d
-                se = grid_sample_3d(params["spatial_embeddings"], mapped[..., :3])
-            return nerface.query_template(params, spec, level, mapped,
-                                          dirs_flat, driving, pose_enc,
-                                          latent_code, se)
+        field_fn = nerface.make_field_fn(
+            params, spec, driving_or_audio, pose, latent_code=latent_code,
+            use_pallas=settings.use_pallas,
+            compute_dtype=settings.compute_dtype)
 
     def run_level(level, z_vals, noise_key):
         pts = ray_origins[:, None, :] + ray_directions[:, None, :] * z_vals[..., None]

@@ -31,7 +31,7 @@ import optax
 from ..config import Config
 from ..models.nerface import ModelSpec, Params, init_model_params
 from ..ops import losses as L
-from ..ops.rays import get_ray_bundle
+from ..ops.rays import get_rays_at
 from ..ops.sampling import (gather_rays, semantic_ray_probs,
                             weighted_ray_indices)
 from ..render.pipeline import RenderSettings, render_rays
@@ -165,14 +165,14 @@ def train_step(
     probs = semantic_ray_probs(state.sample_prob, mask_img)
     idx = weighted_ray_indices(k_sel, probs.reshape(-1), ts.num_random_rays)
 
-    ro_full, rd_full = get_ray_bundle(H, W, batch["intrinsics"], batch["pose"])
     bg_img = batch.get("background")
     if ts.train_background:
         bg_img = state.params.get("background", bg_img)
     use_bg = (ts.fixed_background or ts.train_background) and bg_img is not None
 
-    ro, rd, target_s, mask_s = gather_rays(idx, ro_full, rd_full,
-                                           batch["image"], mask_img)
+    # Rays are computed only at the selected pixels (no full H*W bundle).
+    ro, rd = get_rays_at(idx, H, W, batch["intrinsics"], batch["pose"])
+    target_s, mask_s = gather_rays(idx, batch["image"], mask_img)
     bg_rays = gather_rays(idx, bg_img)[0] if use_bg else None
     if ray_constraint is not None:
         # Shard the ray workload across the device mesh (DP over rays);

@@ -1,0 +1,162 @@
+"""Fused Pallas kernels vs the pure-jnp oracle (interpret mode on CPU).
+
+On TPU the same comparisons run compiled (see .claude/skills/verify); the
+kernels auto-select interpret mode off-TPU (ops/pallas/field_mlp._interpret).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sahs_tpu.config import Config
+from sahs_tpu.models import fields
+from sahs_tpu.models.nerface import ModelSpec, init_model_params
+from sahs_tpu.ops.encoding import positional_encoding
+from sahs_tpu.ops.grid import _grid_sample_3d_impl, grid_sample_3d
+from sahs_tpu.ops.pallas.field_mlp import (deform_mlp_apply_fused,
+                                           nerf_mlp_apply_fused)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config()
+    spec = ModelSpec.from_config(cfg)
+    params = init_model_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.RandomState(0)
+    P = 300
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (P, 3)).astype(np.float32))
+    pe_x = positional_encoding(pts, 10)
+    driving = jnp.asarray(rng.randn(76).astype(np.float32) * 0.1)
+    pose_enc = jnp.asarray(rng.randn(36).astype(np.float32))
+    cond = jnp.concatenate([driving, pose_enc])
+    return spec, params, rng, pe_x, driving, pose_enc, cond
+
+
+def test_fused_warp_matches_oracle(setup):
+    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    oracle = fields.warp_field_apply(params["warp"], spec.warp, pe_x,
+                                     driving, pose_enc)
+    fused = deform_mlp_apply_fused(params["warp"], 6, 128, 4, pe_x, cond, 3,
+                                   out_act="tanh", compute_dtype="float32")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               atol=1e-5)
+
+
+def test_fused_hyper_matches_oracle(setup):
+    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    oracle = fields.hyper_sheet_apply(params["hyper"], spec.hyper, pe_x,
+                                      driving, pose_enc)
+    fused = deform_mlp_apply_fused(params["hyper"], 6, 64, 4, pe_x, cond, 2,
+                                   out_act="linear", compute_dtype="float32")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               atol=1e-5)
+
+
+def test_fused_nerf_matches_oracle(setup):
+    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    P = pe_x.shape[0]
+    pe_amb = positional_encoding(
+        jnp.asarray(rng.uniform(-1, 1, (P, 2)).astype(np.float32)), 4)
+    pts_embed = jnp.concatenate([pe_x, pe_amb], -1)
+    dirs_embed = positional_encoding(
+        jnp.asarray(rng.randn(P, 3).astype(np.float32)), 4)
+    se = jnp.asarray(rng.randn(P, 32).astype(np.float32) * 0.1)
+    extra = jnp.concatenate([dirs_embed, se], -1)
+    oracle = fields.nerf_mlp_apply(params["coarse"], spec.coarse, pts_embed,
+                                   dirs_embed, pose=pose_enc,
+                                   spatial_embedding=se)
+    fused = nerf_mlp_apply_fused(params["coarse"], 8, 4, pts_embed, extra,
+                                 pose_enc, compute_dtype="float32")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               atol=2e-5)
+
+
+def test_fused_warp_grads_match_finite_diff(setup):
+    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    v = jnp.asarray(rng.randn(pe_x.shape[0], 3).astype(np.float32))
+
+    def loss(p):
+        y = deform_mlp_apply_fused(p, 6, 128, 4, pe_x, cond, 3,
+                                   out_act="tanh", compute_dtype="float32")
+        return jnp.sum(y * v)
+
+    g = jax.grad(loss)(params["warp"])
+    eps = 1e-2
+    for li, key, idx in [(0, "b", (5,)), (5, "w", (10, 20))]:
+        def mod(d):
+            t = jax.tree.map(lambda x: x, params["warp"])
+            t["trunk"][li][key] = t["trunk"][li][key].at[idx].add(d)
+            return t
+        fd = (float(loss(mod(eps))) - float(loss(mod(-eps)))) / (2 * eps)
+        an = float(g["trunk"][li][key][idx])
+        assert abs(fd - an) < max(2e-2, 0.05 * abs(fd)), (li, key, fd, an)
+
+
+def test_fused_nerf_grads_match_oracle_grads(setup):
+    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    P = pe_x.shape[0]
+    pe_amb = positional_encoding(
+        jnp.asarray(rng.uniform(-1, 1, (P, 2)).astype(np.float32)), 4)
+    pts_embed = jnp.concatenate([pe_x, pe_amb], -1)
+    dirs_embed = positional_encoding(
+        jnp.asarray(rng.randn(P, 3).astype(np.float32)), 4)
+    se = jnp.asarray(rng.randn(P, 32).astype(np.float32) * 0.1)
+    extra = jnp.concatenate([dirs_embed, se], -1)
+    v = jnp.asarray(rng.randn(P, 16).astype(np.float32))
+
+    def loss_oracle(p):
+        y = fields.nerf_mlp_apply(p, spec.coarse, pts_embed, dirs_embed,
+                                  pose=pose_enc, spatial_embedding=se)
+        return jnp.sum(y * v)
+
+    def loss_fused(p):
+        y = nerf_mlp_apply_fused(p, 8, 4, pts_embed, extra, pose_enc,
+                                 compute_dtype="float32")
+        return jnp.sum(y * v)
+
+    go = jax.grad(loss_oracle)(params["coarse"])
+    gf = jax.grad(loss_fused)(params["coarse"])
+    for a, b in zip(jax.tree.leaves(go), jax.tree.leaves(gf)):
+        scale = float(jnp.abs(a).max()) + 1e-6
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4 * max(scale, 1.0))
+
+
+def test_grid_custom_vjp_matches_autodiff():
+    rng = np.random.RandomState(0)
+    G = jnp.asarray(rng.randn(8, 5, 6, 7).astype(np.float32))
+    c = jnp.asarray((rng.rand(200, 3).astype(np.float32) * 2.6 - 1.3))
+    d_new = jax.grad(lambda g: jnp.sum(jnp.sin(grid_sample_3d(g, c))))(G)
+    d_ref = jax.grad(lambda g: jnp.sum(jnp.sin(_grid_sample_3d_impl(g, c))))(G)
+    np.testing.assert_allclose(np.asarray(d_new), np.asarray(d_ref), atol=1e-4)
+    dc_new = jax.grad(lambda cc: jnp.sum(jnp.sin(grid_sample_3d(G, cc))))(c)
+    dc_ref = jax.grad(lambda cc: jnp.sum(jnp.sin(_grid_sample_3d_impl(G, cc))))(c)
+    np.testing.assert_allclose(np.asarray(dc_new), np.asarray(dc_ref), atol=1e-4)
+
+
+def test_pipeline_pallas_path_matches_oracle(setup):
+    """Full render_rays with use_pallas vs the oracle path."""
+    from sahs_tpu.render.pipeline import RenderSettings, render_rays
+    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    R = 16
+    ro = np.zeros((R, 3), np.float32)
+    rd = (rng.randn(R, 3) * 0.05 + np.array([0, 0, -1.0])).astype(np.float32)
+    audio = rng.randn(16, 29).astype(np.float32)
+    Rm = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    pose = np.concatenate([Rm, np.array([[0], [0], [0.6]], np.float32)], 1)
+    bg = rng.rand(R, 15).astype(np.float32)
+    base = dict(num_coarse=8, num_fine=8, perturb=False,
+                radiance_field_noise_std=0.0)
+    s_oracle = RenderSettings(**base, use_pallas=False)
+    s_pallas = RenderSettings(**base, use_pallas=True, compute_dtype="float32")
+    out_o = render_rays(params, setup[0], s_oracle, jnp.asarray(ro),
+                        jnp.asarray(rd), 0.48, 1.08, jnp.asarray(audio),
+                        jnp.asarray(pose), background_prior=jnp.asarray(bg))
+    out_p = render_rays(params, setup[0], s_pallas, jnp.asarray(ro),
+                        jnp.asarray(rd), 0.48, 1.08, jnp.asarray(audio),
+                        jnp.asarray(pose), background_prior=jnp.asarray(bg))
+    np.testing.assert_allclose(np.asarray(out_p.rgb_fine),
+                               np.asarray(out_o.rgb_fine), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_p.disp_fine),
+                               np.asarray(out_o.disp_fine), rtol=1e-3)
