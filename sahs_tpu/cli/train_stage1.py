@@ -58,6 +58,9 @@ def main(argv=None):
                     help="use the procedural fixture dataset")
     ap.add_argument("--max-iters", type=int, default=0,
                     help="override cfg.experiment.train_iters")
+    ap.add_argument("--steps-per-launch", type=int, default=1,
+                    help=">1 fuses K steps into one device program "
+                         "(lax.scan), amortizing dispatch latency")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -105,20 +108,41 @@ def main(argv=None):
     with open(os.path.join(logdir, "config.yml"), "w") as fp:
         fp.write(cfg.dump())
 
+    K = max(1, args.steps_per_launch)
+    if K > 1:
+        from ..train.stage1 import make_multi_train_step, stack_batches
+        multi_fn = make_multi_train_step(spec, ts,
+                                         donate=cfg.runtime.donate_state)
     step_fn = make_train_step(spec, ts, donate=cfg.runtime.donate_state)
     n_iters = args.max_iters or cfg.experiment.train_iters
     start_iter = int(state.step)
 
+    def crossed(prev, cur, every):
+        return every > 0 and (prev // every) != (cur // every)
+
     t_report = time.time()
     rays_done = 0
-    for i in range(start_iter, n_iters):
-        img_i = np.random.choice(len(train_data))
-        batch = device_batch(train_data[img_i], background)
-        key, step_key = jax.random.split(key)
-        state, metrics = step_fn(state, batch, step_key)
-        rays_done += ts.num_random_rays
+    i = start_iter
+    while i < n_iters:
+        i_prev = i
+        if K > 1 and i + K <= n_iters:
+            frame_ids = np.random.choice(len(train_data), size=K)
+            items = [train_data[j] for j in frame_ids]
+            batches = stack_batches(items, background)
+            key, step_key = jax.random.split(key)
+            state, ms = multi_fn(state, batches, step_key)
+            metrics = jax.tree.map(lambda x: x[-1], ms)
+            rays_done += ts.num_random_rays * K
+            i += K
+        else:
+            img_i = np.random.choice(len(train_data))
+            batch = device_batch(train_data[img_i], background)
+            key, step_key = jax.random.split(key)
+            state, metrics = step_fn(state, batch, step_key)
+            rays_done += ts.num_random_rays
+            i += 1
 
-        if i % cfg.experiment.print_every == 0 or i == n_iters - 1:
+        if crossed(i_prev, i, cfg.experiment.print_every) or i >= n_iters:
             m = jax.device_get(metrics)
             dt = time.time() - t_report
             rps = rays_done / max(dt, 1e-9)
@@ -135,10 +159,11 @@ def main(argv=None):
             t_report = time.time()
             rays_done = 0
 
-        if i % cfg.experiment.validate_every == 0 and i > 0:
+        if crossed(i_prev, i, cfg.experiment.validate_every) and i > 0:
             _validate(cfg, spec, state, val_data, background, logger, i, key)
 
-        if (i % cfg.experiment.save_every == 0 and i > 0) or i == n_iters - 1:
+        if (crossed(i_prev, i, cfg.experiment.save_every) and i > 0) \
+                or i >= n_iters:
             path = os.path.join(logdir, f"checkpoint{i:07d}.ckpt")
             ckpt_lib.save_checkpoint(path, state, extras={
                 "background": background, "pose_c": pose_c,

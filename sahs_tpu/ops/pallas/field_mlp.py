@@ -133,23 +133,26 @@ def _trunk_forward(spec: TrunkSpec, x, ws: Sequence, bs: Sequence,
 
 def _flatten_trunk_weights(spec: TrunkSpec, trunk_params, out_params):
     """Pad + split the pytree weights into the kernel's positional layout.
-    Returns (flat_arrays, unflatten_info)."""
+    Weight matrices are pre-cast to the compute dtype (bf16 halves their
+    VMEM residency and removes per-tile casts); biases stay f32 (added to
+    the f32 matmul accumulators)."""
     D, H, O = spec.in_dim, spec.hidden, spec.out_dim
+    wdt = jnp.dtype(spec.compute_dtype)
     flat = []
     for i, p in enumerate(trunk_params):
         w = p["w"]
         if i == 0:
-            flat.append(_pad2(w, D, H))
+            flat.append(_pad2(w, D, H).astype(wdt))
         elif i == spec.skip_every:
             # rows are [hidden part ; x0 part], matching the reference's
             # cat(h, x0) order (modules.py:268-273)
             hid = w.shape[1]
-            flat.append(_pad2(w[:hid], H, H))
-            flat.append(_pad2(w[hid:], D, H))
+            flat.append(_pad2(w[:hid], H, H).astype(wdt))
+            flat.append(_pad2(w[hid:], D, H).astype(wdt))
         else:
-            flat.append(_pad2(w, H, H))
+            flat.append(_pad2(w, H, H).astype(wdt))
         flat.append(_pad_bias(p["b"], H))
-    flat.append(_pad2(out_params["w"], H, O))
+    flat.append(_pad2(out_params["w"], H, O).astype(wdt))
     flat.append(_pad_bias(out_params["b"], O))
     return flat
 
@@ -180,6 +183,7 @@ def skip_mlp_forward(spec: TrunkSpec, x: jnp.ndarray, trunk_params,
     P = x.shape[0]
     Pp = _rup(P, TILE)
     xp = jnp.pad(x, ((0, Pp - P), (0, spec.in_dim - x.shape[1])))
+    xp = xp.astype(jnp.dtype(spec.compute_dtype))
     flat = _flatten_trunk_weights(spec, trunk_params, out_params)
     n_flat = len(flat)
 
@@ -243,9 +247,9 @@ def fold_skip_conditioning(spec_num_hidden: int, trunk_params, skip_every: int,
 # Backward: per-tile recompute + VMEM-accumulated weight grads
 # ===========================================================================
 
-BWD_TILE = 512  # bwd holds weights + dW accumulators + per-tile activations
-                # in VMEM (~20 MB at 512 points; vmem_limit_bytes raised on
-                # the bwd pallas_calls). Small tiles are grid-overhead-bound.
+BWD_TILE = 1024  # bwd holds weights + dW accumulators + per-tile activations
+                 # in VMEM (~25 MB; vmem_limit_bytes raised on the bwd
+                 # pallas_calls). Small tiles are grid-overhead-bound.
 
 
 def _trunk_backward(spec: TrunkSpec, x, ws, bs, acts, ga):
@@ -275,15 +279,17 @@ def _trunk_backward(spec: TrunkSpec, x, ws, bs, acts, ga):
 
 
 def _accumulate(refs, values, first):
-    """Write-or-accumulate each value into its (constant-index) output ref."""
-    for r, v in zip(refs, values):
-        @pl.when(first)
-        def _(r=r, v=v):
-            r[:] = v.astype(r.dtype)
+    """Accumulate each value into its (constant-index) output ref; one
+    predicated region zeroes everything on the first tile (per-ref
+    init/else-add pairs — ~90 predicated regions — made the Mosaic compile
+    take many minutes)."""
+    @pl.when(first)
+    def _():
+        for r in refs:
+            r[:] = jnp.zeros(r.shape, r.dtype)
 
-        @pl.when(jnp.logical_not(first))
-        def _(r=r, v=v):
-            r[:] = r[:] + v.astype(r.dtype)
+    for r, v in zip(refs, values):
+        r[:] = r[:] + v.astype(r.dtype)
 
 
 def skip_mlp_vjp(spec: TrunkSpec, x: jnp.ndarray, trunk_params, out_params,
@@ -540,39 +546,41 @@ class NerfKernelSpec:
 def _flatten_nerf_weights(spec: NerfKernelSpec, params):
     """Pad + split NeRFMLP params into the kernel's positional layout.
     dir layer 0 rows are [feat ; extra] per the reference concat order
-    (modules.py:276-280)."""
+    (modules.py:276-280). Weight matrices pre-cast to the compute dtype."""
     D, H, B, E = spec.in_dim, spec.hidden, spec.branch, spec.extra_dim
+    wdt = jnp.dtype(spec.compute_dtype)
+    _c = lambda a: a.astype(wdt)
     flat = []
     for i, p in enumerate(params["trunk"]):
         if i == 0:
-            flat.append(_pad2(p["w"], D, H))
+            flat.append(_c(_pad2(p["w"], D, H)))
         elif i == spec.skip_every:
             hid = p["w"].shape[1]
-            flat.append(_pad2(p["w"][:hid], H, H))
-            flat.append(_pad2(p["w"][hid:], D, H))
+            flat.append(_c(_pad2(p["w"][:hid], H, H)))
+            flat.append(_c(_pad2(p["w"][hid:], D, H)))
         else:
-            flat.append(_pad2(p["w"], H, H))
+            flat.append(_c(_pad2(p["w"], H, H)))
         flat.append(_pad_bias(p["b"], H))
-    flat.append(_pad2(params["fc_feat"]["w"], H, H))
+    flat.append(_c(_pad2(params["fc_feat"]["w"], H, H)))
     flat.append(_pad_bias(params["fc_feat"]["b"], H))
-    flat.append(_pad2(params["fc_alpha"]["w"], H, 128))
+    flat.append(_c(_pad2(params["fc_alpha"]["w"], H, 128)))
     flat.append(_pad_bias(params["fc_alpha"]["b"], 128))
     d0 = params["dir"][0]
     hid = params["fc_feat"]["w"].shape[1]
-    flat.append(_pad2(d0["w"][:hid], H, B))       # feat part
-    flat.append(_pad2(d0["w"][hid:], E, B))       # extra part
+    flat.append(_c(_pad2(d0["w"][:hid], H, B)))   # feat part
+    flat.append(_c(_pad2(d0["w"][hid:], E, B)))   # extra part
     flat.append(_pad_bias(d0["b"], B))
     for p in params["dir"][1:]:
-        flat.append(_pad2(p["w"], B, B))
+        flat.append(_c(_pad2(p["w"], B, B)))
         flat.append(_pad_bias(p["b"], B))
-    flat.append(_pad2(params["fc_rgb"]["w"], B, 128))
+    flat.append(_c(_pad2(params["fc_rgb"]["w"], B, 128)))
     flat.append(_pad_bias(params["fc_rgb"]["b"], 128))
-    flat.append(_pad2(params["seg"][0]["w"], H, B))
+    flat.append(_c(_pad2(params["seg"][0]["w"], H, B)))
     flat.append(_pad_bias(params["seg"][0]["b"], B))
     for p in params["seg"][1:]:
-        flat.append(_pad2(p["w"], B, B))
+        flat.append(_c(_pad2(p["w"], B, B)))
         flat.append(_pad_bias(p["b"], B))
-    flat.append(_pad2(params["fc_seg"]["w"], B, 128))
+    flat.append(_c(_pad2(params["fc_seg"]["w"], B, 128)))
     flat.append(_pad_bias(params["fc_seg"]["b"], 128))
     return flat
 
@@ -826,6 +834,8 @@ def nerf_mlp_forward_fused(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
     Pp = _rup(P, TILE)
     xp = jnp.pad(pts_embed, ((0, Pp - P), (0, spec.in_dim - pts_embed.shape[1])))
     ep = jnp.pad(dir_extra, ((0, Pp - P), (0, spec.extra_dim - dir_extra.shape[1])))
+    xp = xp.astype(jnp.dtype(spec.compute_dtype))
+    ep = ep.astype(jnp.dtype(spec.compute_dtype))
     flat = _flatten_nerf_weights(spec, params)
     n_flat = len(flat)
 

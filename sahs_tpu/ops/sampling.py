@@ -67,8 +67,10 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, num_samples: int,
         u = jax.random.uniform(key, cdf.shape[:-1] + (num_samples,),
                                dtype=weights.dtype)
 
-    # searchsorted(side='right') per row.
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side='right') per row as a vectorized compare-reduce:
+    # inds[r,s] = #{b : cdf[r,b] <= u[r,s]}. For B=65 bins this is a small
+    # (R,S,B) VPU reduction — faster on TPU than a vmapped binary search.
+    inds = jnp.sum(cdf[:, None, :] <= u[..., None], axis=-1).astype(jnp.int32)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 

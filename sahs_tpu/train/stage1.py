@@ -253,3 +253,36 @@ def make_train_step(spec: ModelSpec, ts: TrainSettings, donate: bool = True):
         return train_step(state, batch, key, spec, ts, optimizer)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(spec: ModelSpec, ts: TrainSettings,
+                          donate: bool = True):
+    """K training steps fused into ONE device program via lax.scan over a
+    stacked batch pytree (leaves shaped (K, ...)). Amortizes per-launch
+    dispatch latency and lets XLA overlap steps; the TPU-idiomatic driver
+    loop. Returns stacked per-step metrics."""
+    optimizer = make_optimizer(ts)
+
+    def multi(state, batches, key):
+        def body(carry, batch):
+            st, ky = carry
+            ky, sub = jax.random.split(ky)
+            st, m = train_step(st, batch, sub, spec, ts, optimizer)
+            return (st, ky), m
+        (state, _), metrics = jax.lax.scan(body, (state, key), batches)
+        return state, metrics
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(items, background=None):
+    """List of per-frame numpy batch dicts -> stacked device pytree for
+    make_multi_train_step."""
+    import numpy as np
+    keys = [k for k in items[0] if k != "fname"]
+    out = {k: jnp.asarray(np.stack([np.asarray(it[k]) for it in items]))
+           for k in keys}
+    if background is not None:
+        out["background"] = jnp.broadcast_to(
+            background, (len(items),) + background.shape)
+    return out
