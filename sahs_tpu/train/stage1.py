@@ -111,7 +111,10 @@ def make_optimizer(ts: TrainSettings) -> optax.GradientTransformation:
     (train_stage_rays_auto.py:504-509)."""
     def schedule(step):
         return ts.lr * ts.lr_decay_factor ** (step / (ts.lr_decay * 1000.0))
-    return optax.adam(learning_rate=schedule)
+    # optax.flatten: run the adam math on ONE concatenated vector instead of
+    # ~80 pytree leaves — the per-leaf kernel-launch overhead of a deep
+    # pytree measurably dominates the update cost on TPU.
+    return optax.flatten(optax.adam(learning_rate=schedule))
 
 
 def init_train_state(key: jax.Array, spec: ModelSpec, ts: TrainSettings,
