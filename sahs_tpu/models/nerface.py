@@ -217,18 +217,42 @@ def make_field_fn(params: Params, spec: ModelSpec,
                                   driving, pose_enc, latent_code, se)
         return field_fn
 
-    from ..ops.pallas.field_mlp import (deform_mlp_apply_fused,
+    from ..ops.encoding import encoded_dim
+    from ..ops.pallas.field_mlp import (PESpec, _rup, deform_mlp_apply_fused,
                                         nerf_mlp_apply_fused)
 
-    pe_warp = get_embedding_function(spec.warp_num_encoding_fn_xyz,
-                                     include_input=True, log_sampling=True)
-    pe_pos = get_embedding_function(spec.num_encoding_fn_xyz,
-                                    spec.include_input_xyz, spec.log_sampling_xyz)
-    pe_dir = get_embedding_function(spec.num_encoding_fn_dir,
-                                    spec.include_input_dir, spec.log_sampling_dir)
-    pe_amb = get_embedding_function(spec.num_encoding_fn_ambient,
-                                    spec.include_input_ambient,
-                                    spec.log_sampling_ambient)
+    # In-kernel PE: every fused kernel takes the packed RAW coordinates and
+    # (re)computes its positional encoding inside the kernel from static
+    # frequency tables — the wide PE banks never exist in HBM and XLA's PE
+    # fwd/bwd kernels disappear from the hot path.
+    warp_pe = PESpec(
+        groups=((0, 3, spec.warp_num_encoding_fn_xyz, True, True),),
+        in_width=128,
+        out_width=_rup(encoded_dim(3, spec.warp_num_encoding_fn_xyz, True)))
+
+    amb_dim = spec.hyper.ambient_coord_dim if spec.use_ambient else 0
+    pts_groups = [(0, 3, spec.num_encoding_fn_xyz, spec.include_input_xyz,
+                   spec.log_sampling_xyz)]
+    if amb_dim:
+        pts_groups.append((3, amb_dim, spec.num_encoding_fn_ambient,
+                           spec.include_input_ambient,
+                           spec.log_sampling_ambient))
+    pts_pe_dim = (encoded_dim(3, spec.num_encoding_fn_xyz,
+                              spec.include_input_xyz)
+                  + encoded_dim(amb_dim, spec.num_encoding_fn_ambient,
+                                spec.include_input_ambient))
+    pts_pe = PESpec(groups=tuple(pts_groups), in_width=128,
+                    out_width=_rup(pts_pe_dim))
+
+    se_dim = 32 if spec.use_spatial_embeddings else 0
+    extra_groups = [(0, 3, spec.num_encoding_fn_dir, spec.include_input_dir,
+                     spec.log_sampling_dir)]
+    if se_dim:
+        extra_groups.append((3, se_dim, 0, True, True))   # passthrough
+    extra_dim = encoded_dim(3, spec.num_encoding_fn_dir,
+                            spec.include_input_dir) + se_dim
+    extra_pe = PESpec(groups=tuple(extra_groups), in_width=128,
+                      out_width=_rup(extra_dim))
 
     def deform_cond(sub):
         parts = []
@@ -238,26 +262,29 @@ def make_field_fn(params: Params, spec: ModelSpec,
         return jnp.concatenate(parts)
 
     def field_fn(level, pts_flat, dirs_flat):
-        pe_x = pe_warp(pts_flat)
         warped = pts_flat
         if spec.use_warp:
             dx = deform_mlp_apply_fused(
                 params["warp"], spec.warp.num_layers, spec.warp.hidden_size,
-                spec.warp.skip_connect_every, pe_x, deform_cond(spec.warp), 3,
-                out_act="tanh", compute_dtype=compute_dtype)
+                spec.warp.skip_connect_every, pts_flat,
+                deform_cond(spec.warp), 3,
+                out_act="tanh", compute_dtype=compute_dtype, pe_spec=warp_pe)
             warped = pts_flat + dx
-        pts_embed = pe_pos(warped)
+        pts_raw = warped
         if spec.use_ambient:
             amb = deform_mlp_apply_fused(
                 params["hyper"], spec.hyper.num_layers,
-                spec.hyper.hidden_size, spec.hyper.skip_connect_every, pe_x,
-                deform_cond(spec.hyper), spec.hyper.ambient_coord_dim,
-                out_act="linear", compute_dtype=compute_dtype)
-            pts_embed = jnp.concatenate([pts_embed, pe_amb(amb)], axis=-1)
-        extra = pe_dir(dirs_flat)
+                spec.hyper.hidden_size, spec.hyper.skip_connect_every,
+                pts_flat, deform_cond(spec.hyper),
+                spec.hyper.ambient_coord_dim,
+                out_act="linear", compute_dtype=compute_dtype,
+                pe_spec=warp_pe)
+            pts_raw = jnp.concatenate([pts_raw, amb], axis=-1)
+        extra_raw = dirs_flat
         if spec.use_spatial_embeddings:
-            se = grid_sample_3d(params["spatial_embeddings"], warped)
-            extra = jnp.concatenate([extra, se], axis=-1)
+            se = grid_sample_3d(params["spatial_embeddings"], warped,
+                                compute_dtype=compute_dtype)
+            extra_raw = jnp.concatenate([extra_raw, se], axis=-1)
         nerf_spec: NeRFSpec = getattr(spec, level)
         cond_parts = []
         if nerf_spec.include_driving:
@@ -268,7 +295,8 @@ def make_field_fn(params: Params, spec: ModelSpec,
                 else jnp.zeros((0,), pts_flat.dtype))
         return nerf_mlp_apply_fused(
             params[level], nerf_spec.num_layers, nerf_spec.skip_connect_every,
-            pts_embed, extra, cond, compute_dtype=compute_dtype)
+            pts_raw, extra_raw, cond, compute_dtype=compute_dtype,
+            pe_spec=pts_pe, extra_pe_spec=extra_pe)
 
     return field_fn
 

@@ -38,6 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..encoding import frequency_bands
+
 TILE = 1024
 
 
@@ -90,6 +92,110 @@ def _mm(a, b, dtype):
             else jax.lax.Precision.DEFAULT)
     return jnp.dot(a.astype(dtype), b.astype(dtype),
                    preferred_element_type=jnp.float32, precision=prec)
+
+
+# ===========================================================================
+# In-kernel positional encoding
+#
+# The kernels take the RAW packed coordinates (a few columns) instead of the
+# precomputed PE banks: the encoding is (re)computed inside the kernel from
+# static per-column frequency rows. This removes the (P, 63..96)-wide HBM
+# interfaces, the XLA PE kernels and their backward from the hot path
+# entirely — PE becomes a handful of VPU broadcast-madds + one sin.
+# ===========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class PESpec:
+    """Static in-kernel PE description over a packed raw-input tile.
+
+    groups: ordered (src_col, dim, num_freq, include_input, log_sampling);
+    output slots are laid out exactly like ops/encoding.py (reference
+    nerf_helpers.py:341-349): [x?, sin(f0 x)(dim), cos(f0 x)(dim),
+    sin(f1 x)(dim), ...] per group, groups concatenated. A group with
+    num_freq=0 and include_input=True is a passthrough (identity) block
+    (used to pass the grid spatial embedding alongside the dir PE)."""
+    groups: Tuple[Tuple[int, int, int, bool, bool], ...]
+    in_width: int       # packed raw input cols (kernel input block width)
+    out_width: int      # padded PE width (multiple of 128)
+
+    @property
+    def raw_out(self) -> int:
+        return sum((d if inc else 0) + 2 * d * f
+                   for _, d, f, inc, _ in self.groups)
+
+
+@functools.lru_cache(maxsize=None)
+def _pe_tables(pe: PESpec):
+    """-> (scale (in_width, out_width), phase (1, out_width),
+    is_input (1, out_width)) static np.float32 tables. Slot value =
+    sin(x @ scale + phase), or the raw input where is_input (phase 0).
+    Cos slots are sin with a pi/2 phase, so one transcendental serves both
+    and the backward is cos with the same phase trick."""
+    scale = np.zeros((pe.in_width, pe.out_width), np.float32)
+    phase = np.zeros((1, pe.out_width), np.float32)
+    is_input = np.zeros((1, pe.out_width), np.float32)
+    col = 0
+    for (src, D, F, inc, log_s) in pe.groups:
+        freqs = frequency_bands(F, log_s)
+        if inc:
+            for d in range(D):
+                scale[src + d, col] = 1.0
+                is_input[0, col] = 1.0
+                col += 1
+        for f in range(F):
+            for trig in range(2):           # sin block then cos block
+                for d in range(D):
+                    scale[src + d, col] = freqs[f]
+                    phase[0, col] = np.float32(np.pi / 2) if trig else 0.0
+                    col += 1
+    assert col == pe.raw_out <= pe.out_width
+    return scale, phase, is_input
+
+
+def _pe_input_arrays(pe: PESpec):
+    """Device arrays for the PE tables, appended to a kernel's inputs
+    (Pallas kernels cannot capture array constants)."""
+    if pe is None:
+        return []
+    scale, phase, is_input = _pe_tables(pe)
+    return [jnp.asarray(scale), jnp.asarray(phase), jnp.asarray(is_input)]
+
+
+def _pe_block_specs(pe: PESpec):
+    if pe is None:
+        return []
+    return [pl.BlockSpec((pe.in_width, pe.out_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pe.out_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pe.out_width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)]
+
+
+def _pe_f32_dot(a, b):
+    # The log-spaced frequencies are exact powers of two, so the 3-pass
+    # f32 MXU decomposition is exact up to the final f32 rounding — matches
+    # the oracle's elementwise x*f to f32 ulp.
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _pe_apply(x_raw, pe_refs):
+    """In-kernel PE forward from table refs [scale, phase, is_input]:
+    (T, in_width) f32 -> (T, out_width) f32. Padding slots have zero
+    scale/phase -> sin(0) = 0, matching the zero-padded no-PE path."""
+    scale, phase, mask = pe_refs[0][:], pe_refs[1][:], pe_refs[2][:]
+    t = _pe_f32_dot(x_raw, scale) + phase
+    return jnp.where(mask > 0, t - phase, jnp.sin(t))
+
+
+def _pe_bwd(x_raw, g_pe, pe_refs):
+    """In-kernel PE backward: cotangent wrt the PE output (T, out_width)
+    -> cotangent wrt the raw input (T, in_width)."""
+    scale, phase, mask = pe_refs[0][:], pe_refs[1][:], pe_refs[2][:]
+    t = _pe_f32_dot(x_raw, scale) + phase
+    dt = jnp.where(mask > 0, g_pe, g_pe * jnp.cos(t))
+    return _pe_f32_dot(dt, scale.T)
 
 
 # ===========================================================================
@@ -176,38 +282,45 @@ def _unflatten_trunk_weights(spec: TrunkSpec, flat):
 
 
 def skip_mlp_forward(spec: TrunkSpec, x: jnp.ndarray, trunk_params,
-                     out_params, extra_bias=None) -> jnp.ndarray:
+                     out_params, pe_spec: "PESpec" = None) -> jnp.ndarray:
     """x: (P, raw_in) unpadded; returns (P, raw_out).
-    extra_bias: optional (H,)-broadcast additions per layer (already folded
-    into biases by the caller via fold_conditioning)."""
+    pe_spec: when given, ``x`` is the packed RAW coordinates and the PE is
+    computed inside the kernel (x stays f32; sin needs full precision)."""
     P = x.shape[0]
     Pp = _rup(P, TILE)
-    xp = jnp.pad(x, ((0, Pp - P), (0, spec.in_dim - x.shape[1])))
-    xp = xp.astype(jnp.dtype(spec.compute_dtype))
+    in_width = pe_spec.in_width if pe_spec is not None else spec.in_dim
+    xp = jnp.pad(x, ((0, Pp - P), (0, in_width - x.shape[1])))
+    if pe_spec is None:
+        xp = xp.astype(jnp.dtype(spec.compute_dtype))
     flat = _flatten_trunk_weights(spec, trunk_params, out_params)
     n_flat = len(flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    cdt = jnp.dtype(spec.compute_dtype)
 
     def kernel(x_ref, *refs):
         w_refs = refs[:n_flat]
-        o_ref = refs[n_flat]
+        pe_refs = refs[n_flat:n_flat + len(pe_in)]
+        o_ref = refs[n_flat + len(pe_in)]
         ws, bs, wo, bo = _unflatten_trunk_weights(spec, [r[:] for r in w_refs])
-        h = _trunk_forward(spec, x_ref[:], ws, bs)
-        y = _act(spec.out_act)(
-            _mm(h, wo, jnp.dtype(spec.compute_dtype)) + bo)
+        x_t = (_pe_apply(x_ref[:], pe_refs).astype(cdt)
+               if pe_spec is not None else x_ref[:])
+        h = _trunk_forward(spec, x_t, ws, bs)
+        y = _act(spec.out_act)(_mm(h, wo, cdt) + bo)
         o_ref[:] = y.astype(o_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
         grid=(Pp // TILE,),
-        in_specs=[pl.BlockSpec((TILE, spec.in_dim), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((TILE, in_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
-                                 memory_space=pltpu.VMEM) for f in flat],
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec),
         out_specs=pl.BlockSpec((TILE, spec.out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pp, spec.out_dim), x.dtype),
         interpret=_interpret(),
-    )(xp, *flat)
+    )(xp, *flat, *pe_in)
     return out[:P]
 
 
@@ -293,26 +406,33 @@ def _accumulate(refs, values, first):
 
 
 def skip_mlp_vjp(spec: TrunkSpec, x: jnp.ndarray, trunk_params, out_params,
-                 g: jnp.ndarray):
+                 g: jnp.ndarray, pe_spec: "PESpec" = None):
     """Backward pass of skip_mlp_forward. g: (P, raw_out) cotangent.
-    Returns (gx (P, raw_in), trunk_grads, out_grads)."""
+    Returns (gx (P, raw_in), trunk_grads, out_grads). With pe_spec the
+    kernel recomputes the PE from the raw coords and chains the cotangent
+    back through it (gx is wrt the raw coords)."""
     P = x.shape[0]
     Pp = _rup(P, BWD_TILE)
     raw_in = x.shape[1]
-    xp = jnp.pad(x, ((0, Pp - P), (0, spec.in_dim - raw_in)))
+    in_width = pe_spec.in_width if pe_spec is not None else spec.in_dim
+    xp = jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))
     gp = jnp.pad(g, ((0, Pp - P), (0, spec.out_dim - g.shape[1])))
     flat = _flatten_trunk_weights(spec, trunk_params, out_params)
     n_flat = len(flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    n_pe = len(pe_in)
     n_grid = Pp // BWD_TILE
 
     def kernel(x_ref, g_ref, *refs):
         w_refs = refs[:n_flat]
-        gx_ref = refs[n_flat]
-        dw_refs = refs[n_flat + 1:]
+        pe_refs = refs[n_flat:n_flat + n_pe]
+        gx_ref = refs[n_flat + n_pe]
+        dw_refs = refs[n_flat + n_pe + 1:]
         vals = [r[:] for r in w_refs]
         ws, bs, wo, bo = _unflatten_trunk_weights(spec, vals)
         cdt = jnp.dtype(spec.compute_dtype)
-        x_t = x_ref[:]
+        x_raw = x_ref[:]
+        x_t = _pe_apply(x_raw, pe_refs) if pe_spec is not None else x_raw
         h, acts = _trunk_forward(spec, x_t, ws, bs, keep=True)
         y = _act(spec.out_act)(_mm(h, wo, cdt) + bo)
         gz = g_ref[:] * _dact_from_out(spec.out_act)(y)
@@ -320,6 +440,8 @@ def skip_mlp_vjp(spec: TrunkSpec, x: jnp.ndarray, trunk_params, out_params,
         dbo = jnp.sum(gz, axis=0, keepdims=True)
         ga = _mm(gz, wo.T, cdt)
         gx, dws, dbs = _trunk_backward(spec, x_t, ws, bs, acts, ga)
+        if pe_spec is not None:
+            gx = _pe_bwd(x_raw, gx, pe_refs)
         gx_ref[:] = gx.astype(gx_ref.dtype)
         # flatten grads to the same order as `flat`
         grads = []
@@ -332,27 +454,28 @@ def skip_mlp_vjp(spec: TrunkSpec, x: jnp.ndarray, trunk_params, out_params,
         grads.extend([dwo, dbo])
         _accumulate(dw_refs, grads, pl.program_id(0) == 0)
 
-    out_shapes = ([jax.ShapeDtypeStruct((Pp, spec.in_dim), x.dtype)]
+    out_shapes = ([jax.ShapeDtypeStruct((Pp, in_width), x.dtype)]
                   + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
-    out_specs = ([pl.BlockSpec((BWD_TILE, spec.in_dim), lambda i: (i, 0),
+    out_specs = ([pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat])
     outs = pl.pallas_call(
         kernel,
         grid=(n_grid,),
-        in_specs=[pl.BlockSpec((BWD_TILE, spec.in_dim), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((BWD_TILE, spec.out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
-                                 memory_space=pltpu.VMEM) for f in flat],
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec),
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, gp, *flat)
+    )(xp, gp, *flat, *pe_in)
 
     gx = outs[0][:P, :raw_in]
     flat_grads = outs[1:]
@@ -411,31 +534,31 @@ def _unfold_cond_grads(raw_trunk, folded_grads, cond, skip_every: int,
     return out_grads, dcond
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _deform_fused(num_layers, hidden, skip_every, out_dim, out_act,
-                  compute_dtype, params, pe_x, cond):
-    pe_dim = pe_x.shape[-1]
+                  compute_dtype, pe_spec, params, pe_x, cond):
+    pe_dim = pe_spec.raw_out if pe_spec is not None else pe_x.shape[-1]
     trunk = fold_conditioning(params["trunk"], cond, pe_dim)
     trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
     spec = TrunkSpec(num_layers=num_layers, skip_every=skip_every,
                      in_dim=_rup(pe_dim), hidden=_rup(hidden),
                      out_dim=_rup(out_dim), act="relu", out_act=out_act,
                      compute_dtype=compute_dtype)
-    out = skip_mlp_forward(spec, pe_x, trunk, params["out"])
+    out = skip_mlp_forward(spec, pe_x, trunk, params["out"], pe_spec=pe_spec)
     return out[:, :out_dim]
 
 
 def _deform_fused_fwd(num_layers, hidden, skip_every, out_dim, out_act,
-                      compute_dtype, params, pe_x, cond):
+                      compute_dtype, pe_spec, params, pe_x, cond):
     y = _deform_fused(num_layers, hidden, skip_every, out_dim, out_act,
-                      compute_dtype, params, pe_x, cond)
+                      compute_dtype, pe_spec, params, pe_x, cond)
     return y, (params, pe_x, cond)
 
 
 def _deform_fused_bwd(num_layers, hidden, skip_every, out_dim, out_act,
-                      compute_dtype, res, g):
+                      compute_dtype, pe_spec, res, g):
     params, pe_x, cond = res
-    pe_dim = pe_x.shape[-1]
+    pe_dim = pe_spec.raw_out if pe_spec is not None else pe_x.shape[-1]
     trunk = fold_conditioning(params["trunk"], cond, pe_dim)
     trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
     spec = TrunkSpec(num_layers=num_layers, skip_every=skip_every,
@@ -443,7 +566,8 @@ def _deform_fused_bwd(num_layers, hidden, skip_every, out_dim, out_act,
                      out_dim=_rup(out_dim), act="relu", out_act=out_act,
                      compute_dtype=compute_dtype)
     gx, trunk_grads_folded, out_grads = skip_mlp_vjp(spec, pe_x, trunk,
-                                                     params["out"], g)
+                                                     params["out"], g,
+                                                     pe_spec=pe_spec)
     trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
                                             trunk_grads_folded, cond,
                                             skip_every, hidden, pe_dim)
@@ -457,51 +581,61 @@ def deform_mlp_apply_fused(params, num_layers: int, hidden: int,
                            skip_every: int, pe_x: jnp.ndarray,
                            cond: jnp.ndarray, out_dim: int,
                            out_act: str = "linear",
-                           compute_dtype: str = "bfloat16") -> jnp.ndarray:
-    """Fused warp/hyper-sheet MLP: pe_x (P, pe_dim), cond (76+36,) per-frame
-    conditioning. Equivalent to fields.warp_field_apply /
-    hyper_sheet_apply up to fp reassociation. Differentiable (custom VJP
-    with per-tile recompute + VMEM-accumulated weight grads)."""
+                           compute_dtype: str = "bfloat16",
+                           pe_spec: PESpec = None) -> jnp.ndarray:
+    """Fused warp/hyper-sheet MLP: pe_x (P, pe_dim) precomputed PE — or,
+    with pe_spec, the packed RAW coords (P, <=pe_spec.in_width) with the PE
+    computed in-kernel. cond (76+36,) per-frame conditioning. Equivalent to
+    fields.warp_field_apply / hyper_sheet_apply up to fp reassociation.
+    Differentiable (custom VJP with per-tile recompute + VMEM-accumulated
+    weight grads)."""
     return _deform_fused(num_layers, hidden, skip_every, out_dim, out_act,
-                         compute_dtype, params, pe_x, cond)
+                         compute_dtype, pe_spec, params, pe_x, cond)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _nerf_fused(num_layers, skip_every, pe_dim, compute_dtype, params,
-                pts_embed, dir_extra, cond):
+def _nerf_spec_of(num_layers, skip_every, pe_dim, extra_dim, compute_dtype,
+                  params):
     hidden = params["fc_feat"]["w"].shape[1]
+    return NerfKernelSpec(num_layers=num_layers, skip_every=skip_every,
+                          in_dim=_rup(pe_dim), hidden=_rup(hidden),
+                          branch=_rup(hidden // 2), extra_dim=_rup(extra_dim),
+                          compute_dtype=compute_dtype), hidden
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _nerf_fused(num_layers, skip_every, pe_dim, extra_dim, compute_dtype,
+                pe_spec, extra_pe_spec, params, pts_embed, dir_extra, cond):
+    spec, hidden = _nerf_spec_of(num_layers, skip_every, pe_dim, extra_dim,
+                                 compute_dtype, params)
     trunk = fold_conditioning(params["trunk"], cond, pe_dim)
     trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
     p2 = dict(params)
     p2["trunk"] = trunk
-    spec = NerfKernelSpec(num_layers=num_layers, skip_every=skip_every,
-                          in_dim=_rup(pe_dim), hidden=_rup(hidden),
-                          branch=_rup(hidden // 2),
-                          extra_dim=_rup(dir_extra.shape[-1]),
-                          compute_dtype=compute_dtype)
-    return nerf_mlp_forward_fused(spec, pts_embed, dir_extra, p2)
+    return nerf_mlp_forward_fused(spec, pts_embed, dir_extra, p2,
+                                  pe_spec=pe_spec,
+                                  extra_pe_spec=extra_pe_spec)
 
 
-def _nerf_fused_fwd(num_layers, skip_every, pe_dim, compute_dtype, params,
-                    pts_embed, dir_extra, cond):
-    y = _nerf_fused(num_layers, skip_every, pe_dim, compute_dtype, params,
-                    pts_embed, dir_extra, cond)
+def _nerf_fused_fwd(num_layers, skip_every, pe_dim, extra_dim, compute_dtype,
+                    pe_spec, extra_pe_spec, params, pts_embed, dir_extra,
+                    cond):
+    y = _nerf_fused(num_layers, skip_every, pe_dim, extra_dim, compute_dtype,
+                    pe_spec, extra_pe_spec, params, pts_embed, dir_extra, cond)
     return y, (params, pts_embed, dir_extra, cond)
 
 
-def _nerf_fused_bwd(num_layers, skip_every, pe_dim, compute_dtype, res, g):
+def _nerf_fused_bwd(num_layers, skip_every, pe_dim, extra_dim, compute_dtype,
+                    pe_spec, extra_pe_spec, res, g):
     params, pts_embed, dir_extra, cond = res
-    hidden = params["fc_feat"]["w"].shape[1]
+    spec, hidden = _nerf_spec_of(num_layers, skip_every, pe_dim, extra_dim,
+                                 compute_dtype, params)
     trunk = fold_conditioning(params["trunk"], cond, pe_dim)
     trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
     p2 = dict(params)
     p2["trunk"] = trunk
-    spec = NerfKernelSpec(num_layers=num_layers, skip_every=skip_every,
-                          in_dim=_rup(pe_dim), hidden=_rup(hidden),
-                          branch=_rup(hidden // 2),
-                          extra_dim=_rup(dir_extra.shape[-1]),
-                          compute_dtype=compute_dtype)
-    gx, gextra, grads_folded = nerf_mlp_vjp(spec, pts_embed, dir_extra, p2, g)
+    gx, gextra, grads_folded = nerf_mlp_vjp(spec, pts_embed, dir_extra, p2, g,
+                                            pe_spec=pe_spec,
+                                            extra_pe_spec=extra_pe_spec)
     trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
                                             grads_folded["trunk"], cond,
                                             skip_every, hidden, pe_dim)
@@ -516,13 +650,22 @@ _nerf_fused.defvjp(_nerf_fused_fwd, _nerf_fused_bwd)
 def nerf_mlp_apply_fused(params, num_layers: int, skip_every: int,
                          pts_embed: jnp.ndarray, dir_extra: jnp.ndarray,
                          cond: jnp.ndarray,
-                         compute_dtype: str = "bfloat16") -> jnp.ndarray:
+                         compute_dtype: str = "bfloat16",
+                         pe_spec: PESpec = None,
+                         extra_pe_spec: PESpec = None) -> jnp.ndarray:
     """Fused NeRFMLP: pts_embed (P, pe_xyz+pe_amb), dir_extra
     (P, pe_dir [+ spatial_embedding]), cond = per-frame trunk conditioning
     (pose PE and/or driving, concatenated in the reference's input order).
-    Returns (P, 16) raw field. Differentiable."""
-    return _nerf_fused(num_layers, skip_every, pts_embed.shape[-1],
-                       compute_dtype, params, pts_embed, dir_extra, cond)
+    With pe specs the two inputs are the packed RAW coords
+    ([warped xyz, ambient] / [dirs, spatial embedding]) and the PEs are
+    computed in-kernel. Returns (P, 16) raw field. Differentiable."""
+    pe_dim = (pe_spec.raw_out if pe_spec is not None
+              else pts_embed.shape[-1])
+    extra_dim = (extra_pe_spec.raw_out if extra_pe_spec is not None
+                 else dir_extra.shape[-1])
+    return _nerf_fused(num_layers, skip_every, pe_dim, extra_dim,
+                       compute_dtype, pe_spec, extra_pe_spec, params,
+                       pts_embed, dir_extra, cond)
 
 
 # ===========================================================================
@@ -641,30 +784,45 @@ def _nerf_forward_math(spec: NerfKernelSpec, x, extra, vals,
 
 
 def nerf_mlp_vjp(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
-                 dir_extra: jnp.ndarray, params, g: jnp.ndarray):
+                 dir_extra: jnp.ndarray, params, g: jnp.ndarray,
+                 pe_spec: PESpec = None, extra_pe_spec: PESpec = None):
     """Backward of nerf_mlp_forward_fused: g (P, 16) -> (gx, gextra,
-    flat_param_grads in _flatten_nerf_weights order, unpadded pytree)."""
+    flat_param_grads in _flatten_nerf_weights order, unpadded pytree).
+    With pe specs the inputs are packed RAW coords; the kernel recomputes
+    the PEs and chains the cotangents back through them (gx/gextra are wrt
+    the raw coords)."""
     P = pts_embed.shape[0]
     Pp = _rup(P, BWD_TILE)
     raw_in = pts_embed.shape[1]
     raw_extra = dir_extra.shape[1]
-    xp = jnp.pad(pts_embed, ((0, Pp - P), (0, spec.in_dim - raw_in)))
-    ep = jnp.pad(dir_extra, ((0, Pp - P), (0, spec.extra_dim - raw_extra)))
+    x_width = pe_spec.in_width if pe_spec is not None else spec.in_dim
+    e_width = (extra_pe_spec.in_width if extra_pe_spec is not None
+               else spec.extra_dim)
+    xp = jnp.pad(pts_embed, ((0, Pp - P), (0, x_width - raw_in)))
+    ep = jnp.pad(dir_extra, ((0, Pp - P), (0, e_width - raw_extra)))
     gp = jnp.pad(g, ((0, Pp - P), (0, 128 - g.shape[1])))
     flat = _flatten_nerf_weights(spec, params)
     n_flat = len(flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    epe_in = _pe_input_arrays(extra_pe_spec)
+    n_pe, n_epe = len(pe_in), len(epe_in)
     n_grid = Pp // BWD_TILE
     leakyd = _dact_from_out("leaky")
 
     def kernel(x_ref, e_ref, g_ref, *refs):
         w_refs = refs[:n_flat]
-        gx_ref = refs[n_flat]
-        ge_ref = refs[n_flat + 1]
-        dw_refs = refs[n_flat + 2:]
+        pe_refs = refs[n_flat:n_flat + n_pe]
+        epe_refs = refs[n_flat + n_pe:n_flat + n_pe + n_epe]
+        gx_ref = refs[n_flat + n_pe + n_epe]
+        ge_ref = refs[n_flat + n_pe + n_epe + 1]
+        dw_refs = refs[n_flat + n_pe + n_epe + 2:]
         vals = [r[:] for r in w_refs]
         cdt = jnp.dtype(spec.compute_dtype)
-        x_t = x_ref[:]
-        e_t = e_ref[:]
+        x_raw = x_ref[:]
+        e_raw = e_ref[:]
+        x_t = _pe_apply(x_raw, pe_refs) if pe_spec is not None else x_raw
+        e_t = (_pe_apply(e_raw, epe_refs)
+               if extra_pe_spec is not None else e_raw)
         rgb, seg, alpha, acts, W = _nerf_forward_math(spec, x_t, e_t, vals,
                                                       keep=True)
         g_t = g_ref[:]
@@ -733,6 +891,10 @@ def nerf_mlp_vjp(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
                           compute_dtype=spec.compute_dtype)
         gx, dws, dbs = _trunk_backward(tspec, x_t, W["ws"], W["bs"],
                                        acts["trunk"], gh)
+        if pe_spec is not None:
+            gx = _pe_bwd(x_raw, gx, pe_refs)
+        if extra_pe_spec is not None:
+            gextra = _pe_bwd(e_raw, gextra, epe_refs)
         gx_ref[:] = gx.astype(gx_ref.dtype)
         ge_ref[:] = gextra.astype(ge_ref.dtype)
 
@@ -752,32 +914,33 @@ def nerf_mlp_vjp(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
         grads.extend([dwseg, dbseg])
         _accumulate(dw_refs, grads, pl.program_id(0) == 0)
 
-    out_shapes = ([jax.ShapeDtypeStruct((Pp, spec.in_dim), pts_embed.dtype),
-                   jax.ShapeDtypeStruct((Pp, spec.extra_dim), pts_embed.dtype)]
+    out_shapes = ([jax.ShapeDtypeStruct((Pp, x_width), pts_embed.dtype),
+                   jax.ShapeDtypeStruct((Pp, e_width), pts_embed.dtype)]
                   + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
-    out_specs = ([pl.BlockSpec((BWD_TILE, spec.in_dim), lambda i: (i, 0),
+    out_specs = ([pl.BlockSpec((BWD_TILE, x_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((BWD_TILE, spec.extra_dim), lambda i: (i, 0),
+                  pl.BlockSpec((BWD_TILE, e_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat])
     outs = pl.pallas_call(
         kernel,
         grid=(n_grid,),
-        in_specs=[pl.BlockSpec((BWD_TILE, spec.in_dim), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((BWD_TILE, x_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((BWD_TILE, spec.extra_dim), lambda i: (i, 0),
+                  pl.BlockSpec((BWD_TILE, e_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((BWD_TILE, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
-                                 memory_space=pltpu.VMEM) for f in flat],
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec) + _pe_block_specs(extra_pe_spec),
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, ep, gp, *flat)
+    )(xp, ep, gp, *flat, *pe_in, *epe_in)
 
     gx = outs[0][:P, :raw_in]
     gextra = outs[1][:P, :raw_extra]
@@ -827,23 +990,42 @@ def nerf_mlp_vjp(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
 
 
 def nerf_mlp_forward_fused(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
-                           dir_extra: jnp.ndarray, params) -> jnp.ndarray:
+                           dir_extra: jnp.ndarray, params,
+                           pe_spec: PESpec = None,
+                           extra_pe_spec: PESpec = None) -> jnp.ndarray:
     """pts_embed (P, raw_in), dir_extra (P, raw_extra) -> (P, 16) raw field
-    [rgb3 | seg12 | alpha1], matching fields.nerf_mlp_apply."""
+    [rgb3 | seg12 | alpha1], matching fields.nerf_mlp_apply. With pe specs
+    the two inputs are packed RAW coords ([warped xyz, ambient] and
+    [dirs, spatial embedding]) and the PEs are computed in-kernel."""
     P = pts_embed.shape[0]
     Pp = _rup(P, TILE)
-    xp = jnp.pad(pts_embed, ((0, Pp - P), (0, spec.in_dim - pts_embed.shape[1])))
-    ep = jnp.pad(dir_extra, ((0, Pp - P), (0, spec.extra_dim - dir_extra.shape[1])))
-    xp = xp.astype(jnp.dtype(spec.compute_dtype))
-    ep = ep.astype(jnp.dtype(spec.compute_dtype))
+    x_width = pe_spec.in_width if pe_spec is not None else spec.in_dim
+    e_width = (extra_pe_spec.in_width if extra_pe_spec is not None
+               else spec.extra_dim)
+    cdt = jnp.dtype(spec.compute_dtype)
+    xp = jnp.pad(pts_embed, ((0, Pp - P), (0, x_width - pts_embed.shape[1])))
+    ep = jnp.pad(dir_extra, ((0, Pp - P), (0, e_width - dir_extra.shape[1])))
+    if pe_spec is None:
+        xp = xp.astype(cdt)
+    if extra_pe_spec is None:
+        ep = ep.astype(cdt)
     flat = _flatten_nerf_weights(spec, params)
     n_flat = len(flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    epe_in = _pe_input_arrays(extra_pe_spec)
+    n_pe, n_epe = len(pe_in), len(epe_in)
 
     def kernel(x_ref, e_ref, *refs):
         w_refs = refs[:n_flat]
-        o_ref = refs[n_flat]
+        pe_refs = refs[n_flat:n_flat + n_pe]
+        epe_refs = refs[n_flat + n_pe:n_flat + n_pe + n_epe]
+        o_ref = refs[n_flat + n_pe + n_epe]
         vals = [r[:] for r in w_refs]
-        rgb, seg, alpha, = _nerf_forward_math(spec, x_ref[:], e_ref[:], vals)
+        x_t = (_pe_apply(x_ref[:], pe_refs).astype(cdt)
+               if pe_spec is not None else x_ref[:])
+        e_t = (_pe_apply(e_ref[:], epe_refs).astype(cdt)
+               if extra_pe_spec is not None else e_ref[:])
+        rgb, seg, alpha, = _nerf_forward_math(spec, x_t, e_t, vals)
         out = jnp.concatenate(
             [rgb[:, :3], seg[:, :12], alpha[:, :1],
              jnp.zeros((rgb.shape[0], 112), rgb.dtype)], axis=-1)
@@ -852,15 +1034,16 @@ def nerf_mlp_forward_fused(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
     out = pl.pallas_call(
         kernel,
         grid=(Pp // TILE,),
-        in_specs=[pl.BlockSpec((TILE, spec.in_dim), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((TILE, x_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((TILE, spec.extra_dim), lambda i: (i, 0),
+                  pl.BlockSpec((TILE, e_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
-                                 memory_space=pltpu.VMEM) for f in flat],
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec) + _pe_block_specs(extra_pe_spec),
         out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pp, 128), pts_embed.dtype),
         interpret=_interpret(),
-    )(xp, ep, *flat)
+    )(xp, ep, *flat, *pe_in, *epe_in)
     return out[:P, :16]

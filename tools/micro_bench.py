@@ -1,0 +1,128 @@
+"""Micro-benchmarks of the hot ops at trainer point counts.
+
+Each case is K in-graph repetitions via lax.scan (dispatch amortized);
+prints ms per invocation. Usage: python tools/micro_bench.py [case ...]
+Cases: grid_fwd grid_dg grid_dc grid_full warp_fwd warp_bwd hyper_bwd
+       nerf_fwd nerf_bwd
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sahs_tpu.config import Config
+from sahs_tpu.models.nerface import ModelSpec, init_model_params, make_field_fn
+from sahs_tpu.ops.grid import grid_sample_3d
+
+K = 30
+P = 262144            # fine-level point count (2048 rays x 128 samples)
+
+
+def timeit(name, fn, *args):
+    prog = jax.jit(lambda a: jax.lax.scan(
+        lambda c, _: (fn(*a, c), ()), jnp.zeros(()), jnp.arange(K))[0])
+    out = prog(args)
+    np.asarray(out)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(prog(args))
+        times.append((time.time() - t0) / K * 1000)
+    print(f"{name:12s} {min(times):7.2f} ms")
+
+
+def main():
+    cases = sys.argv[1:] or ["grid_fwd", "grid_dg", "grid_dc", "grid_full",
+                             "warp_fwd", "warp_bwd", "hyper_bwd",
+                             "nerf_fwd", "nerf_bwd", "field_fwd", "field_bwd"]
+    cfg = Config()
+    cfg.runtime.use_pallas = jax.default_backend() == "tpu"
+    spec = ModelSpec.from_config(cfg)
+    params = init_model_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (P, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.randn(P, 3).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    audio = jnp.asarray(rng.randn(16, 29).astype(np.float32))
+    pose = jnp.asarray(
+        np.concatenate([np.eye(3), [[0], [0], [0.6]]], 1).astype(np.float32).T[
+            :3].T if False else np.concatenate(
+            [np.linalg.qr(rng.randn(3, 3))[0],
+             np.array([[0], [0], [0.6]])], 1).astype(np.float32))
+    G = params.get("spatial_embeddings",
+                   jnp.asarray(rng.randn(32, 32, 32, 32).astype(np.float32)))
+    gcot = jnp.asarray(rng.randn(P, 32).astype(np.float32))
+
+    if "grid_fwd" in cases:
+        timeit("grid_fwd", lambda g, c, eps: jnp.sum(
+            grid_sample_3d(g, c + eps, "bfloat16")), G, pts)
+    if "grid_dg" in cases:
+        f = jax.grad(lambda g, c: jnp.vdot(
+            grid_sample_3d(g, c, "bfloat16"), gcot), argnums=0)
+        timeit("grid_dg", lambda g, c, eps: jnp.sum(f(g + eps, c)), G, pts)
+    if "grid_dc" in cases:
+        f = jax.grad(lambda g, c: jnp.vdot(
+            grid_sample_3d(g, c, "bfloat16"), gcot), argnums=1)
+        timeit("grid_dc", lambda g, c, eps: jnp.sum(f(g, c + eps)), G, pts)
+    if "grid_full" in cases:
+        f = jax.grad(lambda g, c: jnp.vdot(
+            grid_sample_3d(g, c, "bfloat16"), gcot), argnums=(0, 1))
+        timeit("grid_full", lambda g, c, eps: sum(
+            jnp.sum(x) for x in f(g + eps, c)), G, pts)
+
+    def field(level, p, mp=None):
+        ff = make_field_fn(mp if mp is not None else params, spec, audio,
+                           pose, use_pallas=cfg.runtime.use_pallas)
+        return ff(level, p, dirs)
+
+    vcot = jnp.asarray(rng.randn(P, 16).astype(np.float32))
+    if "field_fwd" in cases:
+        timeit("field_fwd", lambda p, eps: jnp.sum(
+            field("fine", p + eps)), pts)
+    if "field_bwd" in cases:
+        f = jax.grad(lambda mp, p: jnp.vdot(field("fine", p, mp), vcot),
+                     argnums=(0, 1))
+        timeit("field_bwd", lambda p, eps: sum(
+            jnp.sum(x) for x in jax.tree.leaves(f(params, p + eps))), pts)
+
+    from sahs_tpu.ops.pallas.field_mlp import (PESpec, _rup,
+                                               deform_mlp_apply_fused)
+    from sahs_tpu.ops.encoding import encoded_dim
+    warp_pe = PESpec(groups=((0, 3, 10, True, True),), in_width=128,
+                     out_width=_rup(encoded_dim(3, 10, True)))
+    cond = jnp.asarray(rng.randn(112).astype(np.float32))
+
+    def warp(p, x):
+        return deform_mlp_apply_fused(p, 6, 128, 4, x, cond, 3,
+                                      out_act="tanh", pe_spec=warp_pe)
+
+    if "warp_fwd" in cases:
+        timeit("warp_fwd", lambda p, eps: jnp.sum(warp(params["warp"],
+                                                       p + eps)), pts)
+    if "warp_bwd" in cases:
+        wc = jnp.asarray(rng.randn(P, 3).astype(np.float32))
+        f = jax.grad(lambda wp, p: jnp.vdot(warp(wp, p), wc), argnums=(0, 1))
+        timeit("warp_bwd", lambda p, eps: sum(
+            jnp.sum(x) for x in jax.tree.leaves(f(params["warp"], p + eps))),
+            pts)
+    if "hyper_bwd" in cases:
+        def hyper(p, x):
+            return deform_mlp_apply_fused(p, 6, 64, 4, x, cond, 2,
+                                          out_act="linear", pe_spec=warp_pe)
+        hc = jnp.asarray(rng.randn(P, 2).astype(np.float32))
+        f = jax.grad(lambda hp, p: jnp.vdot(hyper(hp, p), hc), argnums=(0, 1))
+        timeit("hyper_bwd", lambda p, eps: sum(
+            jnp.sum(x) for x in jax.tree.leaves(f(params["hyper"], p + eps))),
+            pts)
+
+
+if __name__ == "__main__":
+    main()
