@@ -21,14 +21,16 @@ from .train_stage1 import build_dataset
 
 
 def load_any_checkpoint(path: str, spec):
-    try:
-        ckpt = ckpt_lib.load_checkpoint(path)
-        if isinstance(ckpt, dict) and "params" in ckpt:
-            import jax
-            params = jax.tree.map(jnp.asarray, ckpt["params"])
-            return params["model"], ckpt
-    except Exception:
-        pass
+    """Native checkpoints are detected by their schema header; anything else
+    is handed to the torch importer. A corrupt native file raises a clear
+    CheckpointError instead of silently falling through."""
+    if ckpt_lib.is_native_checkpoint(path):
+        entries, schema = ckpt_lib.load_checkpoint(path)
+        params = ckpt_lib.unflatten_params(entries)
+        extras = {k: jnp.asarray(v) for k, v in entries.items()
+                  if "|" not in k}
+        extras.update(schema.get("scalars", {}))
+        return params["model"], extras
     imported = ckpt_lib.import_torch_checkpoint(path, spec)
     return imported["model"], imported
 

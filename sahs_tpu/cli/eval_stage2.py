@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +36,16 @@ def main(argv=None):
         n = min(n, args.limit)
     auds = AudioDataset("val", cfg).get_all_auds() if audio_mode else None
 
-    with open(args.checkpoint, "rb") as fp:
-        ckpt = pickle.load(fp)
-    params = jax.tree.map(jnp.asarray, ckpt["params"])
-    bufs = jax.tree.map(jnp.asarray, ckpt["bufs"])
+    from ..utils import checkpoint as ckpt_lib
+    if ckpt_lib.is_native_checkpoint(args.checkpoint):
+        sections, _ = ckpt_lib.restore_sections(args.checkpoint)
+        params, bufs = sections["params"], sections["bufs"]
+    else:  # released reference torch Generator checkpoint
+        imported = ckpt_lib.import_torch_generator_checkpoint(
+            args.checkpoint, audio=audio_mode)
+        params, bufs = imported["params"], imported["bufs"]
+    params = jax.tree.map(jnp.asarray, params)
+    bufs = jax.tree.map(jnp.asarray, bufs)
 
     s = Stage2Settings.from_config(cfg, steps_per_epoch=1)
     infer_fn = make_infer(s)

@@ -55,7 +55,16 @@ def main(argv=None):
     logdir = os.path.join(cfg.experiment.logdir, cfg.experiment.id + "_stage2")
     logger = MetricLogger(logdir)
 
-    import pickle
+    from ..utils import checkpoint as ckpt_lib
+    if args.load_checkpoint and os.path.exists(args.load_checkpoint):
+        sections, scalars = ckpt_lib.restore_sections(
+            args.load_checkpoint, templates={"opt": state.opt_state})
+        state = state._replace(params=sections["params"],
+                               bufs=sections["bufs"],
+                               opt_state=sections["opt"],
+                               step=jnp.asarray(scalars.get("step", 0),
+                                                jnp.int32))
+        print(f"resumed stage-2 from {args.load_checkpoint}")
     total_epochs = args.max_epochs or (s.epochs + s.epochs_decay)
     for epoch in range(total_epochs):
         for i in range(n_train):
@@ -87,13 +96,11 @@ def main(argv=None):
                 psnrs.append(-10 * np.log10(max(mse, 1e-10)))
             print(f"[S2 VAL] epoch {epoch} PSNR {np.mean(psnrs):.3f}")
             logger.scalars(int(state.step), {"stage2/val_psnr": float(np.mean(psnrs))})
-            ckpt = {"params": jax.device_get(state.params),
-                    "bufs": jax.device_get(state.bufs),
-                    "opt_state": jax.device_get(state.opt_state),
-                    "epoch": epoch}
-            with open(os.path.join(logdir, f"checkpoint_ep{epoch:04d}.ckpt"),
-                      "wb") as fp:
-                pickle.dump(ckpt, fp, protocol=4)
+            ckpt_lib.save_sections(
+                os.path.join(logdir, f"checkpoint_ep{epoch:04d}.ckpt"),
+                {"params": state.params, "bufs": state.bufs,
+                 "opt": state.opt_state},
+                scalars={"epoch": epoch, "step": int(state.step)})
     logger.close()
 
 

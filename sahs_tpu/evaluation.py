@@ -100,8 +100,20 @@ def error_image(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
 
 def make_eval_renderer(spec: ModelSpec, settings: RenderSettings,
                        H: int, W: int, near: float, far: float,
-                       chunksize: Optional[int] = None):
-    """One jit-compiled full-image renderer."""
+                       chunksize: Optional[int] = None,
+                       with_latent: bool = False):
+    """One jit-compiled full-image renderer. With ``with_latent`` the
+    renderer takes a (32,) latent code restored from the checkpoint
+    (reference eval_stage_rays.py:315-318,450-452)."""
+
+    if with_latent:
+        def _render_l(params, intrinsics, pose, driving, background, key,
+                      latent_code):
+            return render_image(params, spec, settings, H, W, intrinsics,
+                                pose, near, far, driving, key=key,
+                                background=background, chunksize=chunksize,
+                                latent_code=latent_code)
+        return jax.jit(_render_l)
 
     def _render(params, intrinsics, pose, driving, background, key):
         return render_image(params, spec, settings, H, W, intrinsics, pose,

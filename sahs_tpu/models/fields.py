@@ -240,7 +240,13 @@ class NeRFSpec:
         return cls(
             num_layers=cfg.num_layers,
             hidden_size=cfg.hidden_size,
-            skip_connect_every=cfg.skip_connect_every,
+            # Reference quirk (caught by tools/parity_vs_reference.py): the
+            # reference NEVER passes skip_connect_every to NeRFMLP
+            # (models.py:258-297 omits it), so the constructor default 3
+            # always wins over the config's 4 (modules.py:176). Preserve the
+            # artifact, not the config. (Warp/hyper DO receive the config
+            # value, models.py:234-254.)
+            skip_connect_every=3,
             pe_xyz_dim=encoded_dim(3, cfg.num_encoding_fn_xyz, cfg.include_input_xyz),
             pe_dir_dim=encoded_dim(3, cfg.num_encoding_fn_dir, cfg.include_input_dir),
             ambient_pe_dim=ambient_pe,

@@ -244,7 +244,7 @@ def make_field_fn(params: Params, spec: ModelSpec,
     pts_pe = PESpec(groups=tuple(pts_groups), in_width=128,
                     out_width=_rup(pts_pe_dim))
 
-    se_dim = 32 if spec.use_spatial_embeddings else 0
+    se_dim = fields.SPATIAL_EMBEDDING_DIM if spec.use_spatial_embeddings else 0
     extra_groups = [(0, 3, spec.num_encoding_fn_dir, spec.include_input_dir,
                      spec.log_sampling_dir)]
     if se_dim:

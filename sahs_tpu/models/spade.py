@@ -122,24 +122,34 @@ def spectral_norm_init(key, w_shape):
 
 
 def spectral_norm(p_conv, buf, train: bool):
-    """One power-iteration step on the (fan_in, cout)-reshaped kernel
-    (torch.nn.utils.spectral_norm semantics: weight viewed as
-    (cout, fan_in); here HWIO -> (fan_in, cout))."""
+    """torch.nn.utils.spectral_norm semantics: weight viewed as
+    (cout, fan_in) — here HWIO reshaped to (fan_in, cout).
+    train: one power-iteration step (v = norm(W^T u); u = norm(W v)),
+    sigma = u_new . (W v). eval: sigma from the STORED u (and stored v when
+    present — the torch-importer saves weight_v so released checkpoints
+    reproduce torch eval exactly; otherwise v is recomputed from u, which is
+    identical once the power iteration has converged)."""
     w = p_conv["w"]
     wm = w.reshape(-1, w.shape[-1])  # (fan_in, cout)
     u = buf["u"]
-    v = wm @ u
-    v = v / (jnp.linalg.norm(v) + 1e-12)
-    u_new = wm.T @ v
-    u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-    u_used = u_new if train else u
-    if not train:
+    if train:
         v = wm @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
+        u_used = wm.T @ v
+        u_used = u_used / (jnp.linalg.norm(u_used) + 1e-12)
+        new_buf = dict(buf)
+        new_buf["u"] = jax.lax.stop_gradient(u_used)
+        if "v" in buf:
+            new_buf["v"] = jax.lax.stop_gradient(v)
+    else:
+        v = buf.get("v")
+        if v is None:
+            v = wm @ u
+            v = v / (jnp.linalg.norm(v) + 1e-12)
         u_used = u
+        new_buf = buf
     sigma = v @ (wm @ u_used)
     w_sn = w / sigma
-    new_buf = {"u": jax.lax.stop_gradient(u_new)} if train else buf
     return {"w": w_sn, "b": p_conv["b"]}, new_buf
 
 

@@ -40,7 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..encoding import frequency_bands
 
-TILE = 1024
+import os
+
+TILE = int(os.environ.get("SAHS_TILE", "1024"))
 
 
 def _interpret() -> bool:
@@ -172,12 +174,30 @@ def _pe_block_specs(pe: PESpec):
                          memory_space=pltpu.VMEM)]
 
 
+_PE_SPLIT_DOT = os.environ.get("SAHS_PE_SPLIT_DOT", "1") == "1"
+
+
 def _pe_f32_dot(a, b):
-    # The log-spaced frequencies are exact powers of two, so the 3-pass
-    # f32 MXU decomposition is exact up to the final f32 rounding — matches
-    # the oracle's elementwise x*f to f32 ulp.
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    """f32-accurate a @ b for the PE tables on the MXU.
+
+    The PE scale/phase tables contain only 0, 1, pi/2 phases and the
+    frequency values; with log_sampling=True those are exact powers of two,
+    exactly representable in bf16. Splitting only the ACTIVATION into
+    bf16 hi/lo halves (a = hi + lo exactly) then makes
+    hi@b + lo@b == a*f up to one f32 rounding — two DEFAULT-precision MXU
+    passes instead of Precision.HIGHEST's six (Mosaic has no HIGH lowering).
+    With linear frequencies (log_sampling=False, unused by the shipped
+    configs) b itself rounds to bf16 and the result picks up ~2^-9 relative
+    error; the HIGHEST fallback covers that case exactly.
+    """
+    if not _PE_SPLIT_DOT:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bb = b.astype(jnp.bfloat16)
+    return (jnp.dot(hi, bb, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, bb, preferred_element_type=jnp.float32))
 
 
 def _pe_apply(x_raw, pe_refs):
@@ -345,7 +365,10 @@ def fold_conditioning(trunk_params, cond: jnp.ndarray, pe_dim: int):
 def fold_skip_conditioning(spec_num_hidden: int, trunk_params, skip_every: int,
                            cond: jnp.ndarray, pe_dim: int):
     """Same folding for the skip layer: its weight rows are
-    [hidden ; pe ; cond]."""
+    [hidden ; pe ; cond]. No-op when the skip never fires (reference
+    semantics: 'won't take effect unless num_layers > skip_connect_every')."""
+    if skip_every <= 0 or skip_every >= len(trunk_params):
+        return trunk_params
     new_params = list(trunk_params)
     p = trunk_params[skip_every]
     w, b = p["w"], p["b"]
@@ -360,9 +383,27 @@ def fold_skip_conditioning(spec_num_hidden: int, trunk_params, skip_every: int,
 # Backward: per-tile recompute + VMEM-accumulated weight grads
 # ===========================================================================
 
-BWD_TILE = 1024  # bwd holds weights + dW accumulators + per-tile activations
+BWD_TILE = int(os.environ.get("SAHS_BWD_TILE", "1024"))
+                 # bwd holds weights + dW accumulators + per-tile activations
                  # in VMEM (~25 MB; vmem_limit_bytes raised on the bwd
                  # pallas_calls). Small tiles are grid-overhead-bound.
+
+_MMT_VIA_DOT_GENERAL = os.environ.get("SAHS_MMT_DOTGEN", "1") == "1"
+
+
+def _mmT(a, gz, dtype):
+    """a.T @ gz — the dW contraction over the point axis. Expressed as a
+    dot_general contracting dim 0 of both operands so Mosaic feeds the MXU
+    with a transposed-LHS matmul instead of materializing a VPU transpose of
+    the (TILE, width) activation block."""
+    prec = (jax.lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    if not _MMT_VIA_DOT_GENERAL:
+        return _mm(a.T, gz, dtype)
+    return jax.lax.dot_general(
+        a.astype(dtype), gz.astype(dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
 
 
 def _trunk_backward(spec: TrunkSpec, x, ws, bs, acts, ga):
@@ -514,6 +555,8 @@ def _unfold_cond_grads(raw_trunk, folded_grads, cond, skip_every: int,
     W_tail @ db from both folded layers."""
     out_grads = []
     dcond = jnp.zeros_like(cond)
+    if skip_every <= 0 or skip_every >= len(raw_trunk):
+        skip_every = -1  # skip never fires for this depth
     for i, (p, gfold) in enumerate(zip(raw_trunk, folded_grads)):
         w = p["w"]
         db = gfold["b"]

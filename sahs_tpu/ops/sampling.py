@@ -104,6 +104,23 @@ def semantic_ray_probs(sample_prob: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarr
     return probs
 
 
+def bbox_ray_probs(bbox: jnp.ndarray, H: int, W: int,
+                   p: float = 0.9) -> jnp.ndarray:
+    """NerFACE-style bbox-weighted pixel probabilities — the reference's
+    fallback when dynamic semantic sampling is off: probability mass ``p``
+    inside the face bbox rows [b0,b1) x cols [b2,b3), ``1-p`` outside,
+    normalized (reference nerface_dataloader.py:63-87 /
+    audio_dataloader.py:58-88; consumed at train_stage_rays_auto.py:417-422).
+    bbox: (4,) int [row0, row1, col0, col1]. Static shapes: bbox is data."""
+    rows = jnp.arange(H)
+    cols = jnp.arange(W)
+    in_r = (rows >= bbox[0]) & (rows < bbox[1])
+    in_c = (cols >= bbox[2]) & (cols < bbox[3])
+    inside = in_r[:, None] & in_c[None, :]
+    probs = jnp.where(inside, p, 1.0 - p)
+    return probs / jnp.sum(probs)
+
+
 def weighted_ray_indices(key: jax.Array, probs_flat: jnp.ndarray,
                          num_rays: int, replace: bool = False) -> jnp.ndarray:
     """Draw ``num_rays`` flat pixel indices ~ probs.

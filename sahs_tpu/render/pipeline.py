@@ -43,10 +43,12 @@ class RenderSettings:
     chunksize: int = 131072
     use_pallas: bool = False      # fused Pallas field kernels (TPU fast path)
     compute_dtype: str = "bfloat16"
+    use_ndc: bool = False         # cfg.dataset.no_ndc=False (train_utils:243)
 
     @classmethod
     def from_mode_config(cls, mc: NerfModeConfig, use_pallas: bool = False,
-                         compute_dtype: str = "bfloat16") -> "RenderSettings":
+                         compute_dtype: str = "bfloat16",
+                         use_ndc: bool = False) -> "RenderSettings":
         return cls(
             num_coarse=mc.num_coarse,
             num_fine=mc.num_fine,
@@ -57,13 +59,15 @@ class RenderSettings:
             chunksize=int(mc.chunksize),
             use_pallas=bool(use_pallas),
             compute_dtype=compute_dtype,
+            use_ndc=bool(use_ndc),
         )
 
     @classmethod
     def from_config(cls, cfg: Config, mode: str) -> "RenderSettings":
         return cls.from_mode_config(getattr(cfg.nerf, mode),
                                     use_pallas=cfg.runtime.use_pallas,
-                                    compute_dtype=cfg.runtime.compute_dtype)
+                                    compute_dtype=cfg.runtime.compute_dtype,
+                                    use_ndc=not cfg.dataset.no_ndc)
 
 
 class RayRenderResult(NamedTuple):
@@ -202,8 +206,12 @@ def render_image(params, spec, settings, H, W, intrinsics, pose, near, far,
                  ) -> Dict[str, Any]:
     """Full-image render (the reference's mode='validation' path,
     train_utils.py:303-319). background: (H, W, 15) or None."""
-    from ..ops.rays import get_ray_bundle
+    from ..ops.rays import get_ray_bundle, ndc_rays
     ro, rd = get_ray_bundle(H, W, intrinsics, pose)
+    if settings.use_ndc:
+        # Reference applies the NDC warp to the bundle before chunking with
+        # near=1.0 (train_utils.py:243-254); config near/far stay as-is.
+        ro, rd = ndc_rays(H, W, intrinsics, 1.0, ro, rd)
     bg = background.reshape(-1, background.shape[-1]) if background is not None else None
     res = render_rays_chunked(params, spec, settings,
                               ro.reshape(-1, 3), rd.reshape(-1, 3), near, far,

@@ -32,7 +32,7 @@ from ..config import Config
 from ..models.nerface import ModelSpec, Params, init_model_params
 from ..ops import losses as L
 from ..ops.rays import get_rays_at
-from ..ops.sampling import (gather_rays, semantic_ray_probs,
+from ..ops.sampling import (bbox_ray_probs, gather_rays, semantic_ray_probs,
                             weighted_ray_indices)
 from ..render.pipeline import RenderSettings, render_rays
 from ..utils.seg import NUM_CLASSES
@@ -164,8 +164,17 @@ def train_step(
     H, W = batch["image"].shape[:2]
     mask_img = batch["mask"].astype(jnp.float32)
 
-    # --- device-side dynamic semantic-weighted ray selection -------------
-    probs = semantic_ray_probs(state.sample_prob, mask_img)
+    # --- device-side ray selection ---------------------------------------
+    # dynamic semantic-weighted probs when dynamic_sampling is on
+    # (train_stage_rays_auto.py:390-394); otherwise the dataset's
+    # bbox-weighted probs (nerface_dataloader.py:63-87), uniform if the
+    # dataset carries no bbox (reference audio loader, load_bbox=False).
+    if ts.dynamic_sampling:
+        probs = semantic_ray_probs(state.sample_prob, mask_img)
+    elif "bbox" in batch:
+        probs = bbox_ray_probs(batch["bbox"], H, W)
+    else:
+        probs = jnp.full((H, W), 1.0 / (H * W))
     idx = weighted_ray_indices(k_sel, probs.reshape(-1), ts.num_random_rays)
 
     bg_img = batch.get("background")
@@ -175,6 +184,9 @@ def train_step(
 
     # Rays are computed only at the selected pixels (no full H*W bundle).
     ro, rd = get_rays_at(idx, H, W, batch["intrinsics"], batch["pose"])
+    if ts.render.use_ndc:
+        from ..ops.rays import ndc_rays
+        ro, rd = ndc_rays(H, W, batch["intrinsics"], 1.0, ro, rd)
     target_s, mask_s = gather_rays(idx, batch["image"], mask_img)
     bg_rays = gather_rays(idx, bg_img)[0] if use_bg else None
     if ray_constraint is not None:

@@ -21,3 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 # TPU's default matmul precision is bf16; parity tests against float32 torch
 # oracles need true f32 matmuls regardless of backend.
 jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (CLI drives, "
+        "reference golden parity)")

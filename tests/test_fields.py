@@ -57,7 +57,9 @@ def test_nerf_mlp_parity_audio_layout():
     P = 17
     m = tr.TorchNeRFMLP(trunk_in=117, use_pose=True, include_driving=False)
     params = tr.nerf_np(m)
-    spec = fields.NeRFSpec(num_layers=8, hidden_size=256, skip_connect_every=4,
+    # skip at 3: the reference never passes the config's skip_connect_every
+    # to NeRFMLP, so its constructor default 3 wins (modules.py:176)
+    spec = fields.NeRFSpec(num_layers=8, hidden_size=256, skip_connect_every=3,
                            pe_xyz_dim=63, pe_dir_dim=27, ambient_pe_dim=18,
                            use_viewdirs=True, use_pose=True,
                            include_pose_input=False,

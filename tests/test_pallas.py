@@ -66,7 +66,7 @@ def test_fused_nerf_matches_oracle(setup):
     oracle = fields.nerf_mlp_apply(params["coarse"], spec.coarse, pts_embed,
                                    dirs_embed, pose=pose_enc,
                                    spatial_embedding=se)
-    fused = nerf_mlp_apply_fused(params["coarse"], 8, 4, pts_embed, extra,
+    fused = nerf_mlp_apply_fused(params["coarse"], 8, 3, pts_embed, extra,
                                  pose_enc, compute_dtype="float32")
     np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
                                atol=2e-5)
@@ -111,7 +111,7 @@ def test_fused_nerf_grads_match_oracle_grads(setup):
         return jnp.sum(y * v)
 
     def loss_fused(p):
-        y = nerf_mlp_apply_fused(p, 8, 4, pts_embed, extra, pose_enc,
+        y = nerf_mlp_apply_fused(p, 8, 3, pts_embed, extra, pose_enc,
                                  compute_dtype="float32")
         return jnp.sum(y * v)
 

@@ -157,7 +157,11 @@ class TorchHyperSheet(torch.nn.Module):
 
 
 class TorchNeRFMLP(torch.nn.Module):
-    def __init__(self, trunk_in, hidden=256, n_layers=8, skip=4,
+    # skip defaults to 3: the reference never passes skip_connect_every to
+    # NeRFMLP, so its constructor default 3 always wins (reference
+    # models.py:258-297, modules.py:176; verified by
+    # tools/parity_vs_reference.py against the actual reference code).
+    def __init__(self, trunk_in, hidden=256, n_layers=8, skip=3,
                  dir_extra=27 + 32, use_pose=True, include_driving=False):
         super().__init__()
         self.use_pose = use_pose

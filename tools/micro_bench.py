@@ -27,8 +27,12 @@ P = 262144            # fine-level point count (2048 rays x 128 samples)
 
 
 def timeit(name, fn, *args):
+    # The scan carry feeds back as a tiny input perturbation (keeps the
+    # iterations data-dependent so XLA can't collapse them); tanh-squash and
+    # scale it so inputs stay in a realistic range across iterations.
     prog = jax.jit(lambda a: jax.lax.scan(
-        lambda c, _: (fn(*a, c), ()), jnp.zeros(()), jnp.arange(K))[0])
+        lambda c, _: (fn(*a, jnp.tanh(c) * 1e-6), ()),
+        jnp.zeros(()), jnp.arange(K))[0])
     out = prog(args)
     np.asarray(out)
     times = []
@@ -52,11 +56,9 @@ def main():
     dirs = jnp.asarray(rng.randn(P, 3).astype(np.float32))
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     audio = jnp.asarray(rng.randn(16, 29).astype(np.float32))
-    pose = jnp.asarray(
-        np.concatenate([np.eye(3), [[0], [0], [0.6]]], 1).astype(np.float32).T[
-            :3].T if False else np.concatenate(
-            [np.linalg.qr(rng.randn(3, 3))[0],
-             np.array([[0], [0], [0.6]])], 1).astype(np.float32))
+    pose = jnp.asarray(np.concatenate(
+        [np.linalg.qr(rng.randn(3, 3))[0],
+         np.array([[0], [0], [0.6]])], 1).astype(np.float32))
     G = params.get("spatial_embeddings",
                    jnp.asarray(rng.randn(32, 32, 32, 32).astype(np.float32)))
     gcot = jnp.asarray(rng.randn(P, 32).astype(np.float32))
