@@ -169,6 +169,18 @@ class TextureRefineConfig:
     val_num: int = 0
     epochs: int = 30
     epochs_decay: int = 30
+    # --- optional loss terms (the reference DEFINES Discriminator + VGG,
+    # _init_spade.py:375-451, but ships an MSE-only loop; these gates wire
+    # them in. Defaults keep exact reference behaviour: MSE only.) ---
+    use_perceptual: bool = False
+    perceptual_weight: float = 10.0
+    vgg_weights: str = ""          # optional torchvision vgg19 state_dict path
+    use_gan: bool = False
+    gan_weight: float = 1.0
+    gan_feat_weight: float = 0.0   # >0 adds pix2pixHD feature matching
+    lr_D: float = 1.0e-4
+    # frames fused per device program in the training loop (lax.scan)
+    scan_frames: int = 8
 
 
 @dataclass

@@ -200,13 +200,22 @@ def _pe_f32_dot(a, b):
             + jnp.dot(lo, bb, preferred_element_type=jnp.float32))
 
 
+# Diagnostic switch: SAHS_PE_SIN=0 replaces the transcendental with a cheap
+# linear op (WRONG results; only for bisecting kernel time).
+_PE_SIN = os.environ.get("SAHS_PE_SIN", "1") == "1"
+
+
+def _sin(t):
+    return jnp.sin(t) if _PE_SIN else t * 0.25
+
+
 def _pe_apply(x_raw, pe_refs):
     """In-kernel PE forward from table refs [scale, phase, is_input]:
     (T, in_width) f32 -> (T, out_width) f32. Padding slots have zero
     scale/phase -> sin(0) = 0, matching the zero-padded no-PE path."""
     scale, phase, mask = pe_refs[0][:], pe_refs[1][:], pe_refs[2][:]
     t = _pe_f32_dot(x_raw, scale) + phase
-    return jnp.where(mask > 0, t - phase, jnp.sin(t))
+    return jnp.where(mask > 0, t - phase, _sin(t))
 
 
 def _pe_bwd(x_raw, g_pe, pe_refs):
