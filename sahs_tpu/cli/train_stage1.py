@@ -108,7 +108,23 @@ def main(argv=None):
     with open(os.path.join(logdir, "config.yml"), "w") as fp:
         fp.write(cfg.dump())
 
+    # Multi-host: each process loads only its frame shard (SURVEY §2.5.4);
+    # the scan batch's step axis is sharded over hosts and every step's
+    # frame is broadcast to all devices inside the scan by XLA.
+    pc, pi = jax.process_count(), jax.process_index()
     K = max(1, args.steps_per_launch)
+    frame_sharding = None
+    sharded_frames = None
+    if pc > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        from ..data.sharded import HostShardedFrames
+        if K % pc:
+            K = pc * max(1, K // pc)
+            print(f"steps-per-launch rounded to {K} (multiple of "
+                  f"process_count={pc})")
+        sharded_frames = HostShardedFrames(train_data, pi, pc)
+        mesh = Mesh(np.array(jax.devices()), axis_names=("frames",))
+        frame_sharding = NamedSharding(mesh, PartitionSpec("frames"))
     if K > 1:
         from ..train.stage1 import make_multi_train_step, stack_batches
         multi_fn = make_multi_train_step(spec, ts,
@@ -126,9 +142,20 @@ def main(argv=None):
     while i < n_iters:
         i_prev = i
         if K > 1 and i + K <= n_iters:
-            frame_ids = np.random.choice(len(train_data), size=K)
-            items = [train_data[j] for j in frame_ids]
-            batches = stack_batches(items, background)
+            if sharded_frames is not None:
+                from ..data.sharded import (assemble_sharded_batches,
+                                            blocked_frame_schedule)
+                sched = blocked_frame_schedule(
+                    cfg.experiment.randomseed + i, len(train_data), K, pc)
+                batches = assemble_sharded_batches(
+                    sharded_frames, sched,
+                    background=(np.asarray(background)
+                                if background is not None else None),
+                    sharding=frame_sharding)
+            else:
+                frame_ids = np.random.choice(len(train_data), size=K)
+                items = [train_data[j] for j in frame_ids]
+                batches = stack_batches(items, background)
             key, step_key = jax.random.split(key)
             state, ms = multi_fn(state, batches, step_key)
             metrics = jax.tree.map(lambda x: x[-1], ms)
@@ -175,15 +202,24 @@ def main(argv=None):
 
 
 def _validate(cfg, spec, state, val_data, background, logger, step, key):
+    """Full-val-set validation pass with logged images, mirroring the
+    reference's in-training loop (train_stage_rays_auto.py:577-694: full
+    val set, TB scalars + rgb/seg/disp validation images). Frame count is
+    capped by cfg.runtime.validate_frames (0 = whole set)."""
     from ..evaluation import make_eval_renderer
     from ..render.pipeline import RenderSettings
     from ..ops.losses import img2mse, mse2psnr
+    from ..utils.seg import label2color
 
     settings = RenderSettings.from_config(cfg, "validation")
     renderer = make_eval_renderer(spec, settings, val_data.H, val_data.W,
                                   float(cfg.dataset.near), float(cfg.dataset.far))
-    psnrs = []
-    for i in range(min(len(val_data), 4)):
+    n = len(val_data)
+    if cfg.runtime.validate_frames:
+        n = min(n, cfg.runtime.validate_frames)
+    n_img = min(n, cfg.runtime.validate_image_frames)
+    psnrs, coarse_psnrs = [], []
+    for i in range(n):
         item = val_data[i]
         key, sub = jax.random.split(key)
         out = renderer(state.params["model"], jnp.asarray(item["intrinsics"]),
@@ -192,10 +228,27 @@ def _validate(cfg, spec, state, val_data, background, logger, step, key):
         rgb = out["rgb_fine"] if out["rgb_fine"] is not None else out["rgb_coarse"]
         mse = float(img2mse(rgb[..., :3], jnp.asarray(item["image"])))
         psnrs.append(mse2psnr(mse))
-        if i == 0:
-            logger.image(step, "val/rgb", np.asarray(rgb[..., :3]))
-    logger.scalars(step, {"val/psnr": float(np.mean(psnrs))})
-    print(f"[VAL] Iter: {step} PSNR: {np.mean(psnrs):.3f}")
+        coarse_psnrs.append(mse2psnr(float(img2mse(
+            out["rgb_coarse"][..., :3], jnp.asarray(item["image"])))))
+        if i < n_img:
+            sfx = f"_{i}" if n_img > 1 else ""
+            logger.image(step, f"val/rgb{sfx}", np.asarray(rgb[..., :3]))
+            logger.image(step, f"val/rgb_coarse{sfx}",
+                         np.asarray(out["rgb_coarse"][..., :3]))
+            logger.image(step, f"val/target{sfx}", np.asarray(item["image"]))
+            if rgb.shape[-1] > 3:
+                logger.image(step, f"val/seg{sfx}",
+                             label2color(np.asarray(rgb[..., 3:15])))
+            disp = out["disp_fine"] if out["disp_fine"] is not None \
+                else out["disp_coarse"]
+            if disp is not None:
+                d = np.asarray(disp)
+                d = (d - d.min()) / max(d.max() - d.min(), 1e-8)
+                logger.image(step, f"val/disparity{sfx}", d[..., None])
+    logger.scalars(step, {"val/psnr": float(np.mean(psnrs)),
+                          "val/psnr_coarse": float(np.mean(coarse_psnrs))})
+    print(f"[VAL] Iter: {step} PSNR: {np.mean(psnrs):.3f} "
+          f"({n} frames)")
 
 
 if __name__ == "__main__":

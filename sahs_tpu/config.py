@@ -211,6 +211,11 @@ class RuntimeConfig:
     use_pallas: bool = True
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     donate_state: bool = True
+    # frames per in-training validation pass; 0 = the FULL val set (the
+    # reference validates over the whole set, train_stage_rays_auto.py:577)
+    validate_frames: int = 0
+    # frames whose images (rgb/seg/disp) go to the logger each validation
+    validate_image_frames: int = 1
 
 
 @dataclass

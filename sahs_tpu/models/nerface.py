@@ -195,10 +195,13 @@ def make_field_fn(params: Params, spec: ModelSpec,
                   driving_or_audio: jnp.ndarray, pose: jnp.ndarray,
                   latent_code=None, use_pallas: bool = False,
                   compute_dtype: str = "bfloat16"):
-    """Build the per-point field evaluator used by the render pipeline:
-    field_fn(level, pts_flat, dirs_flat) -> (P, 16).
+    """Build the field evaluator used by the render pipeline:
+    field_fn(level, pts_flat (P,3), dirs_ray (R,3), samples) -> (P, 16),
+    with P == R * samples and ray-major point order (dirs are per-RAY; the
+    per-point broadcast happens inside the evaluator, or not at all on the
+    Pallas path, whose NeRF kernel encodes directions once per ray).
 
-    use_pallas=True routes the three MLPs through the fused Pallas kernels
+    use_pallas=True routes the MLPs through the fused Pallas kernels
     (ops/pallas/field_mlp.py): per-frame conditioning is folded into biases,
     all layer activations stay in VMEM. Falls back to the pure-jnp oracle
     when the configuration isn't kernel-compatible (no viewdirs / latent
@@ -208,7 +211,13 @@ def make_field_fn(params: Params, spec: ModelSpec,
 
     pallas_ok = (use_pallas and spec.use_viewdirs and latent_code is None)
     if not pallas_ok:
-        def field_fn(level, pts_flat, dirs_flat):
+        def field_fn(level, pts_flat, dirs_ray, samples):
+            dirs_flat = None
+            if dirs_ray is not None:
+                dirs_flat = jnp.broadcast_to(
+                    dirs_ray[:, None, :],
+                    (dirs_ray.shape[0], samples, dirs_ray.shape[-1])
+                ).reshape(-1, dirs_ray.shape[-1])
             mapped = map_points(params, spec, pts_flat, driving, pose_enc)
             se = None
             if spec.use_spatial_embeddings:
@@ -219,15 +228,17 @@ def make_field_fn(params: Params, spec: ModelSpec,
 
     from ..ops.encoding import encoded_dim
     from ..ops.pallas.field_mlp import (PESpec, _rup, deform_mlp_apply_fused,
+                                        deform_pair_apply_fused,
                                         nerf_mlp_apply_fused)
 
     # In-kernel PE: every fused kernel takes the packed RAW coordinates and
     # (re)computes its positional encoding inside the kernel from static
     # frequency tables — the wide PE banks never exist in HBM and XLA's PE
-    # fwd/bwd kernels disappear from the hot path.
+    # fwd/bwd kernels disappear from the hot path. in_width=8: the PE dot's
+    # contracting dim only needs the 3-5 real coordinate columns.
     warp_pe = PESpec(
         groups=((0, 3, spec.warp_num_encoding_fn_xyz, True, True),),
-        in_width=128,
+        in_width=8,
         out_width=_rup(encoded_dim(3, spec.warp_num_encoding_fn_xyz, True)))
 
     amb_dim = spec.hyper.ambient_coord_dim if spec.use_ambient else 0
@@ -241,7 +252,7 @@ def make_field_fn(params: Params, spec: ModelSpec,
                               spec.include_input_xyz)
                   + encoded_dim(amb_dim, spec.num_encoding_fn_ambient,
                                 spec.include_input_ambient))
-    pts_pe = PESpec(groups=tuple(pts_groups), in_width=128,
+    pts_pe = PESpec(groups=tuple(pts_groups), in_width=8,
                     out_width=_rup(pts_pe_dim))
 
     se_dim = fields.SPATIAL_EMBEDDING_DIM if spec.use_spatial_embeddings else 0
@@ -251,7 +262,7 @@ def make_field_fn(params: Params, spec: ModelSpec,
         extra_groups.append((3, se_dim, 0, True, True))   # passthrough
     extra_dim = encoded_dim(3, spec.num_encoding_fn_dir,
                             spec.include_input_dir) + se_dim
-    extra_pe = PESpec(groups=tuple(extra_groups), in_width=128,
+    extra_pe = PESpec(groups=tuple(extra_groups), in_width=40,
                       out_width=_rup(extra_dim))
 
     def deform_cond(sub):
@@ -261,30 +272,60 @@ def make_field_fn(params: Params, spec: ModelSpec,
         parts.append(pose_enc)
         return jnp.concatenate(parts)
 
-    def field_fn(level, pts_flat, dirs_flat):
+    # One fused kernel for BOTH deformation MLPs (shared PE pass) whenever
+    # they take the same conditioning — always true for the reference nets
+    # (modules.py:323-462: warp and hyper both take driving+pose).
+    pair_ok = (spec.use_warp and spec.use_ambient
+               and spec.warp.include_driving == spec.hyper.include_driving)
+
+    dir_pe = PESpec(
+        groups=((0, 3, spec.num_encoding_fn_dir, spec.include_input_dir,
+                 spec.log_sampling_dir),),
+        in_width=8,
+        out_width=_rup(encoded_dim(3, spec.num_encoding_fn_dir,
+                                   spec.include_input_dir)))
+
+    def field_fn(level, pts_flat, dirs_ray, samples):
         warped = pts_flat
-        if spec.use_warp:
-            dx = deform_mlp_apply_fused(
-                params["warp"], spec.warp.num_layers, spec.warp.hidden_size,
-                spec.warp.skip_connect_every, pts_flat,
-                deform_cond(spec.warp), 3,
-                out_act="tanh", compute_dtype=compute_dtype, pe_spec=warp_pe)
-            warped = pts_flat + dx
-        pts_raw = warped
-        if spec.use_ambient:
-            amb = deform_mlp_apply_fused(
-                params["hyper"], spec.hyper.num_layers,
-                spec.hyper.hidden_size, spec.hyper.skip_connect_every,
-                pts_flat, deform_cond(spec.hyper),
-                spec.hyper.ambient_coord_dim,
-                out_act="linear", compute_dtype=compute_dtype,
-                pe_spec=warp_pe)
-            pts_raw = jnp.concatenate([pts_raw, amb], axis=-1)
-        extra_raw = dirs_flat
+        pts_raw = pts_flat
+        if pair_ok:
+            # packed (P, 128) [x + warp | ambient | zeros]: consumed AS-IS
+            # by the grid sampler (first 3 cols) and the NeRF kernel (first
+            # 3+amb cols) — no intermediate (P, small) array ever exists.
+            packed = deform_pair_apply_fused(
+                params["warp"], params["hyper"],
+                (spec.warp.num_layers, spec.warp.hidden_size,
+                 spec.warp.skip_connect_every, 3, "tanh"),
+                (spec.hyper.num_layers, spec.hyper.hidden_size,
+                 spec.hyper.skip_connect_every,
+                 spec.hyper.ambient_coord_dim, "linear"),
+                pts_flat, deform_cond(spec.warp),
+                compute_dtype=compute_dtype, pe_spec=warp_pe)
+            warped = packed
+            pts_raw = packed
+        else:
+            if spec.use_warp:
+                dx = deform_mlp_apply_fused(
+                    params["warp"], spec.warp.num_layers,
+                    spec.warp.hidden_size, spec.warp.skip_connect_every,
+                    pts_flat, deform_cond(spec.warp), 3,
+                    out_act="tanh", compute_dtype=compute_dtype,
+                    pe_spec=warp_pe)
+                warped = pts_flat + dx
+            pts_raw = warped
+            if spec.use_ambient:
+                amb = deform_mlp_apply_fused(
+                    params["hyper"], spec.hyper.num_layers,
+                    spec.hyper.hidden_size, spec.hyper.skip_connect_every,
+                    pts_flat, deform_cond(spec.hyper),
+                    spec.hyper.ambient_coord_dim,
+                    out_act="linear", compute_dtype=compute_dtype,
+                    pe_spec=warp_pe)
+                pts_raw = jnp.concatenate([pts_raw, amb], axis=-1)
+        se = None
         if spec.use_spatial_embeddings:
             se = grid_sample_3d(params["spatial_embeddings"], warped,
                                 compute_dtype=compute_dtype)
-            extra_raw = jnp.concatenate([extra_raw, se], axis=-1)
         nerf_spec: NeRFSpec = getattr(spec, level)
         cond_parts = []
         if nerf_spec.include_driving:
@@ -293,6 +334,27 @@ def make_field_fn(params: Params, spec: ModelSpec,
             cond_parts.append(pose_enc)
         cond = (jnp.concatenate(cond_parts) if cond_parts
                 else jnp.zeros((0,), pts_flat.dtype))
+
+        from ..ops.pallas.field_mlp import (BWD_TILE, TILE,
+                                            nerf_mlp_apply_rayd)
+        if samples and TILE % samples == 0 and BWD_TILE % samples == 0:
+            # per-RAY direction PE (point tiles cover whole rays)
+            return nerf_mlp_apply_rayd(
+                params[level], nerf_spec.num_layers,
+                nerf_spec.skip_connect_every, pts_raw, dirs_ray, se,
+                samples, cond, compute_dtype=compute_dtype,
+                pe_spec=pts_pe, dir_pe_spec=dir_pe)
+        # fallback: per-point dirs (sample count doesn't tile evenly)
+        dirs_flat = jnp.broadcast_to(
+            dirs_ray[:, None, :],
+            (dirs_ray.shape[0], samples, 3)).reshape(-1, 3)
+        extra_raw = dirs_flat
+        if se is not None:
+            extra_raw = jnp.concatenate([extra_raw, se], axis=-1)
+        raw_cols = 3 + (spec.hyper.ambient_coord_dim if spec.use_ambient
+                        else 0)
+        if pts_raw.shape[-1] > 8:
+            pts_raw = pts_raw[:, :raw_cols]
         return nerf_mlp_apply_fused(
             params[level], nerf_spec.num_layers, nerf_spec.skip_connect_every,
             pts_raw, extra_raw, cond, compute_dtype=compute_dtype,

@@ -392,6 +392,13 @@ def fold_skip_conditioning(spec_num_hidden: int, trunk_params, skip_every: int,
 # Backward: per-tile recompute + VMEM-accumulated weight grads
 # ===========================================================================
 
+# Diagnostic switches (WRONG gradients; only for bisecting bwd kernel time):
+# SAHS_BWD_SKIP_DW=1 zeroes the weight-grad accumulation (DCEs the dW
+# contractions); SAHS_BWD_SKIP_GX=1 zeroes the input cotangent (DCEs the
+# trunk dX chain + PE backward).
+_BWD_SKIP_DW = os.environ.get("SAHS_BWD_SKIP_DW", "0") == "1"
+_BWD_SKIP_GX = os.environ.get("SAHS_BWD_SKIP_GX", "0") == "1"
+
 BWD_TILE = int(os.environ.get("SAHS_BWD_TILE", "1024"))
                  # bwd holds weights + dW accumulators + per-tile activations
                  # in VMEM (~25 MB; vmem_limit_bytes raised on the bwd
@@ -643,6 +650,259 @@ def deform_mlp_apply_fused(params, num_layers: int, hidden: int,
     weight grads)."""
     return _deform_fused(num_layers, hidden, skip_every, out_dim, out_act,
                          compute_dtype, pe_spec, params, pe_x, cond)
+
+
+# ===========================================================================
+# Fused warp+hyper pair: ONE kernel, ONE shared in-kernel PE pass
+# ===========================================================================
+
+def _pair_specs(wp, hp, pe_dim, compute_dtype):
+    """(warp, hyper) TrunkSpecs from the (num_layers, hidden, skip, out_dim,
+    out_act) int tuples."""
+    ws = TrunkSpec(num_layers=wp[0], skip_every=wp[2], in_dim=_rup(pe_dim),
+                   hidden=_rup(wp[1]), out_dim=128, act="relu",
+                   out_act=wp[4], compute_dtype=compute_dtype)
+    hs = TrunkSpec(num_layers=hp[0], skip_every=hp[2], in_dim=_rup(pe_dim),
+                   hidden=_rup(hp[1]), out_dim=128, act="relu",
+                   out_act=hp[4], compute_dtype=compute_dtype)
+    return ws, hs
+
+
+def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
+                        w_trunk, w_out, h_trunk, h_out,
+                        pe_spec: "PESpec", wo_dim: int,
+                        ho_dim: int) -> jnp.ndarray:
+    """Both deformation MLPs on the SAME in-kernel PE of the packed raw
+    coords. Returns (P, 128) packed canonical hyper-points:
+    cols [0:wo_dim] = x + warp(x) (the warped coords — the +x residual is
+    applied IN-kernel), cols [wo_dim:wo_dim+ho_dim] = hyper ambient, rest
+    zero. This layout is exactly the downstream NeRF kernel's packed raw
+    input and the grid sampler's coordinate block, so no XLA concat/pad
+    ever materializes between the kernels (a (P, small) f32 array is
+    lane-padded to 128 in HBM — every glue op on one costs ~134 MB)."""
+    P = x.shape[0]
+    Pp = _rup(P, TILE)
+    in_width = pe_spec.in_width
+    xp = jnp.pad(x, ((0, Pp - P), (0, in_width - x.shape[1])))
+    w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
+    h_flat = _flatten_trunk_weights(hspec, h_trunk, h_out)
+    n_w, n_h = len(w_flat), len(h_flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    cdt = jnp.dtype(wspec.compute_dtype)
+
+    def kernel(x_ref, *refs):
+        w_refs = refs[:n_w]
+        h_refs = refs[n_w:n_w + n_h]
+        pe_refs = refs[n_w + n_h:n_w + n_h + len(pe_in)]
+        o_ref = refs[n_w + n_h + len(pe_in)]
+        x_raw = x_ref[:]
+        pe = _pe_apply(x_raw, pe_refs).astype(cdt)
+        ws, bs, wo, bo = _unflatten_trunk_weights(wspec, [r[:] for r in w_refs])
+        hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, [r[:] for r in h_refs])
+        hid_w = _trunk_forward(wspec, pe, ws, bs)
+        y_w = _act(wspec.out_act)(_mm(hid_w, wo, cdt) + bo)
+        hid_h = _trunk_forward(hspec, pe, hw, hb)
+        y_h = _act(hspec.out_act)(_mm(hid_h, hwo, cdt) + hbo)
+        warped = x_raw[:, :wo_dim] + y_w[:, :wo_dim]
+        out = jnp.concatenate(
+            [warped, y_h[:, :ho_dim],
+             jnp.zeros((warped.shape[0], 128 - wo_dim - ho_dim),
+                       warped.dtype)], axis=-1)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+    flat = w_flat + h_flat
+    out = pl.pallas_call(
+        kernel,
+        grid=(Pp // TILE,),
+        in_specs=[pl.BlockSpec((TILE, in_width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec),
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, 128), x.dtype),
+        interpret=_interpret(),
+    )(xp, *flat, *pe_in)
+    return out[:P]
+
+
+def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
+                    w_trunk, w_out, h_trunk, h_out, g: jnp.ndarray,
+                    pe_spec: "PESpec", wo_dim: int, ho_dim: int):
+    """Backward of deform_pair_forward; g is (P, 128) in the packed output
+    layout [warped | ambient]. Shares ONE PE recompute and ONE PE backward
+    between the two trunks; the +x residual contributes g's warped block to
+    gx directly. Returns (gx, w_trunk_grads, w_out_grads, h_trunk_grads,
+    h_out_grads)."""
+    P = x.shape[0]
+    Pp = _rup(P, BWD_TILE)
+    raw_in = x.shape[1]
+    in_width = pe_spec.in_width
+    xp = jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))
+    gp = jnp.pad(g, ((0, Pp - P), (0, 0)))
+    w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
+    h_flat = _flatten_trunk_weights(hspec, h_trunk, h_out)
+    n_w, n_h = len(w_flat), len(h_flat)
+    flat = w_flat + h_flat
+    pe_in = _pe_input_arrays(pe_spec)
+    n_pe = len(pe_in)
+    n_grid = Pp // BWD_TILE
+    cdt = jnp.dtype(wspec.compute_dtype)
+
+    def kernel(x_ref, g_ref, *refs):
+        w_refs = refs[:n_w]
+        h_refs = refs[n_w:n_w + n_h]
+        pe_refs = refs[n_w + n_h:n_w + n_h + n_pe]
+        gx_ref = refs[n_w + n_h + n_pe]
+        dw_refs = refs[n_w + n_h + n_pe + 1:]
+        ws, bs, wo, bo = _unflatten_trunk_weights(wspec, [r[:] for r in w_refs])
+        hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, [r[:] for r in h_refs])
+        x_raw = x_ref[:]
+        pe = _pe_apply(x_raw, pe_refs)
+        g_t = g_ref[:]
+        g_w = jnp.concatenate(
+            [g_t[:, :wo_dim], jnp.zeros_like(g_t[:, :128 - wo_dim])], axis=-1)
+        g_h = jnp.concatenate(
+            [g_t[:, wo_dim:wo_dim + ho_dim],
+             jnp.zeros_like(g_t[:, :128 - ho_dim])], axis=-1)
+
+        def back(spec, ws_, bs_, wo_, bo_, gout):
+            h, acts = _trunk_forward(spec, pe, ws_, bs_, keep=True)
+            y = _act(spec.out_act)(_mm(h, wo_, cdt) + bo_)
+            gz = gout * _dact_from_out(spec.out_act)(y)
+            dwo = _mmT(h, gz, cdt)
+            dbo = jnp.sum(gz, axis=0, keepdims=True)
+            ga = _mm(gz, wo_.T, cdt)
+            gx, dws, dbs = _trunk_backward(spec, pe, ws_, bs_, acts, ga)
+            grads = []
+            for i in range(spec.num_layers):
+                if i == spec.skip_every and i > 0:
+                    grads.extend([dws[i][0], dws[i][1]])
+                else:
+                    grads.append(dws[i])
+                grads.append(dbs[i])
+            grads.extend([dwo, dbo])
+            return gx, grads
+
+        gpe_w, grads_w = back(wspec, ws, bs, wo, bo, g_w)
+        gpe_h, grads_h = back(hspec, hw, hb, hwo, hbo, g_h)
+        gx = _pe_bwd(x_raw, gpe_w + gpe_h, pe_refs)
+        # +x residual of the warped coords
+        gx = gx + jnp.concatenate(
+            [g_t[:, :wo_dim],
+             jnp.zeros((g_t.shape[0], gx.shape[1] - wo_dim), gx.dtype)],
+            axis=-1)
+        gx_ref[:] = gx.astype(gx_ref.dtype)
+        _accumulate(dw_refs, grads_w + grads_h, pl.program_id(0) == 0)
+
+    out_shapes = ([jax.ShapeDtypeStruct((Pp, in_width), x.dtype)]
+                  + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
+    out_specs = ([pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BWD_TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, gp, *flat, *pe_in)
+
+    gx = outs[0][:P, :raw_in]
+    flat_grads = list(outs[1:])
+
+    def unpack(spec, trunk_params, out_params, it):
+        trunk_grads = []
+        for i, p in enumerate(trunk_params):
+            w = p["w"]
+            if i == 0:
+                dw = next(it)[:w.shape[0], :w.shape[1]]
+            elif i == spec.skip_every:
+                hid = w.shape[1]
+                dwh = next(it)
+                dwx = next(it)
+                dw = jnp.concatenate([dwh[:hid, :hid],
+                                      dwx[:w.shape[0] - hid, :hid]], axis=0)
+            else:
+                dw = next(it)[:w.shape[0], :w.shape[1]]
+            db = next(it)[0, :p["b"].shape[0]]
+            trunk_grads.append({"w": dw, "b": db})
+        wo = out_params["w"]
+        dwo = next(it)[:wo.shape[0], :wo.shape[1]]
+        dbo = next(it)[0, :out_params["b"].shape[0]]
+        return trunk_grads, {"w": dwo, "b": dbo}
+
+    it = iter(flat_grads)
+    wt_g, wo_g = unpack(wspec, w_trunk, w_out, it)
+    ht_g, ho_g = unpack(hspec, h_trunk, h_out, it)
+    return gx, wt_g, wo_g, ht_g, ho_g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim,
+                       params_w, params_h, x_raw, cond):
+    """wp/hp: (num_layers, hidden, skip_every, out_dim, out_act) static
+    tuples. Returns packed (P, 128) [x + warp | hyper ambient | zeros]."""
+    wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
+    wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
+    wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
+    ht = fold_conditioning(params_h["trunk"], cond, pe_dim)
+    ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
+    return deform_pair_forward(wspec, hspec, x_raw, wt, params_w["out"],
+                               ht, params_h["out"], pe_spec, wp[3], hp[3])
+
+
+def _deform_pair_fwd(wp, hp, compute_dtype, pe_spec, pe_dim,
+                     params_w, params_h, x_raw, cond):
+    y = _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim,
+                           params_w, params_h, x_raw, cond)
+    return y, (params_w, params_h, x_raw, cond)
+
+
+def _deform_pair_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, res, g):
+    params_w, params_h, x_raw, cond = res
+    wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
+    wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
+    wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
+    ht = fold_conditioning(params_h["trunk"], cond, pe_dim)
+    ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
+    gx, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
+        wspec, hspec, x_raw, wt, params_w["out"], ht, params_h["out"], g,
+        pe_spec, wp[3], hp[3])
+    wt_grads, dcond_w = _unfold_cond_grads(params_w["trunk"], wt_g, cond,
+                                           wp[2], wp[1], pe_dim)
+    ht_grads, dcond_h = _unfold_cond_grads(params_h["trunk"], ht_g, cond,
+                                           hp[2], hp[1], pe_dim)
+    return ({"trunk": wt_grads, "out": wo_g},
+            {"trunk": ht_grads, "out": ho_g},
+            gx, dcond_w + dcond_h)
+
+
+_deform_pair_fused.defvjp(_deform_pair_fwd, _deform_pair_bwd)
+
+
+def deform_pair_apply_fused(params_w, params_h, wp, hp, x_raw: jnp.ndarray,
+                            cond: jnp.ndarray, compute_dtype: str,
+                            pe_spec: PESpec) -> jnp.ndarray:
+    """Fused warp+hyper evaluation sharing one in-kernel PE pass.
+    wp/hp: (num_layers, hidden, skip_every, out_dim, out_act). Returns the
+    packed (P, 128) canonical hyper-points [x + warp(x) @0:wo | ambient
+    @wo:wo+ho | zeros] — directly consumable as the NeRF kernel's packed
+    raw input and the grid sampler's coordinate block."""
+    return _deform_pair_fused(tuple(wp), tuple(hp), compute_dtype, pe_spec,
+                              pe_spec.raw_out, params_w, params_h, x_raw,
+                              cond)
 
 
 def _nerf_spec_of(num_layers, skip_every, pe_dim, extra_dim, compute_dtype,
@@ -1039,6 +1299,542 @@ def nerf_mlp_vjp(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
         grads_tree["seg"].append(head(p))
     grads_tree["fc_seg"] = head(params["fc_seg"])
     return gx, gextra, grads_tree
+
+
+# ===========================================================================
+# NeRFMLP with PER-RAY direction PE ("rayd" variant)
+#
+# Points arrive ray-major ((ray, sample) order, S samples per ray), so a
+# point tile of TILE rows covers exactly G = TILE // S whole rays. The
+# direction PE (27 slots + sin) is computed once per RAY on a (G, ·) block —
+# S times less transcendental work than the per-point variant — and the
+# dir-branch's first-layer contribution is expanded to points by one tiny
+# (TILE, G) indicator matmul. The spatial embedding stays a per-point input
+# (no PE). Ray directions carry no gradient (they are camera data, nothing
+# upstream is trainable), so the dirs cotangent is simply not computed.
+# ===========================================================================
+
+@dataclasses.dataclass(frozen=True)
+class NerfRaydSpec:
+    num_layers: int
+    skip_every: int
+    in_dim: int        # padded pe(xyz)+pe(ambient) dim
+    hidden: int        # padded trunk hidden (256)
+    branch: int        # padded branch hidden (128)
+    dir_raw: int       # UNpadded pe(dir) dim (27)
+    se_dim: int        # spatial-embedding channels (32) or 0
+    samples: int       # S — points per ray (static)
+    compute_dtype: str = "bfloat16"
+
+
+def _flatten_nerf_weights_rayd(spec: NerfRaydSpec, params):
+    """Like _flatten_nerf_weights but the dir layer-0 weight splits three
+    ways: [feat(H) ; pe_dir(dir_raw) ; se(se_dim)] row blocks (the
+    reference's dir-branch input concat order, modules.py:276-280)."""
+    D, H, B = spec.in_dim, spec.hidden, spec.branch
+    wdt = jnp.dtype(spec.compute_dtype)
+    _c = lambda a: a.astype(wdt)
+    flat = []
+    for i, p in enumerate(params["trunk"]):
+        if i == 0:
+            flat.append(_c(_pad2(p["w"], D, H)))
+        elif i == spec.skip_every:
+            hid = p["w"].shape[1]
+            flat.append(_c(_pad2(p["w"][:hid], H, H)))
+            flat.append(_c(_pad2(p["w"][hid:], D, H)))
+        else:
+            flat.append(_c(_pad2(p["w"], H, H)))
+        flat.append(_pad_bias(p["b"], H))
+    flat.append(_c(_pad2(params["fc_feat"]["w"], H, H)))
+    flat.append(_pad_bias(params["fc_feat"]["b"], H))
+    flat.append(_c(_pad2(params["fc_alpha"]["w"], H, 128)))
+    flat.append(_pad_bias(params["fc_alpha"]["b"], 128))
+    d0 = params["dir"][0]
+    hid = params["fc_feat"]["w"].shape[1]
+    dr, se = spec.dir_raw, spec.se_dim
+    flat.append(_c(_pad2(d0["w"][:hid], H, B)))                    # feat part
+    flat.append(_c(_pad2(d0["w"][hid:hid + dr], _rup(dr), B)))     # dir part
+    if se:
+        flat.append(_c(_pad2(d0["w"][hid + dr:hid + dr + se], se, B)))
+    flat.append(_pad_bias(d0["b"], B))
+    for p in params["dir"][1:]:
+        flat.append(_c(_pad2(p["w"], B, B)))
+        flat.append(_pad_bias(p["b"], B))
+    flat.append(_c(_pad2(params["fc_rgb"]["w"], B, 128)))
+    flat.append(_pad_bias(params["fc_rgb"]["b"], 128))
+    flat.append(_c(_pad2(params["seg"][0]["w"], H, B)))
+    flat.append(_pad_bias(params["seg"][0]["b"], B))
+    for p in params["seg"][1:]:
+        flat.append(_c(_pad2(p["w"], B, B)))
+        flat.append(_pad_bias(p["b"], B))
+    flat.append(_c(_pad2(params["fc_seg"]["w"], B, 128)))
+    flat.append(_pad_bias(params["fc_seg"]["b"], 128))
+    return flat
+
+
+def _rayd_unflatten(spec: NerfRaydSpec, vals):
+    """vals (in _flatten_nerf_weights_rayd order) -> named weight dict."""
+    it = iter(vals)
+    ws, bs = [], []
+    for i in range(spec.num_layers):
+        if i == spec.skip_every and i > 0:
+            ws.append((next(it), next(it)))
+        else:
+            ws.append(next(it))
+        bs.append(next(it))
+    W = dict(ws=ws, bs=bs)
+    W["wf"], W["bf"] = next(it), next(it)
+    W["wa"], W["ba"] = next(it), next(it)
+    W["wd0f"] = next(it)
+    W["wd0d"] = next(it)
+    W["wd0s"] = next(it) if spec.se_dim else None
+    W["bd0"] = next(it)
+    W["dir_rest"] = [(next(it), next(it)) for _ in range(3)]
+    W["wrgb"], W["brgb"] = next(it), next(it)
+    W["ws0"], W["bs0"] = next(it), next(it)
+    W["seg_rest"] = [(next(it), next(it)) for _ in range(3)]
+    W["wseg"], W["bseg"] = next(it), next(it)
+    return W
+
+
+def _ray_expand(tile: int, S: int, dtype):
+    """(tile, tile // S) 0/1 indicator: expand[p, g] = [p // S == g].
+    expand @ per_ray broadcasts ray rows to points; expand.T @ per_point
+    sums points per ray — both ride the MXU, no 3-D reshapes in Mosaic."""
+    G = tile // S
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, G), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, G), 1)
+    return (row // S == col).astype(dtype)
+
+
+def _rayd_forward_math(spec: NerfRaydSpec, x, dir_pe, se, W,
+                       keep: bool = False):
+    """x (T, in_dim), dir_pe (G, pe_dir padded), se (T, se_dim) or None."""
+    cdt = jnp.dtype(spec.compute_dtype)
+    leaky = _act("leaky")
+    tspec = TrunkSpec(spec.num_layers, spec.skip_every, spec.in_dim,
+                      spec.hidden, 0, act="leaky",
+                      compute_dtype=spec.compute_dtype)
+    acts = {}
+    if keep:
+        h, trunk_acts = _trunk_forward(tspec, x, W["ws"], W["bs"], keep=True)
+        acts["trunk"] = trunk_acts
+    else:
+        h = _trunk_forward(tspec, x, W["ws"], W["bs"])
+    feat = _mm(h, W["wf"], cdt) + W["bf"]
+    alpha = _mm(feat, W["wa"], cdt) + W["ba"]
+    expand = _ray_expand(x.shape[0], spec.samples, cdt)
+    dir_head = _mm(dir_pe, W["wd0d"], cdt)            # (G, B)
+    d_in = (_mm(feat, W["wd0f"], cdt)
+            + _mm(expand, dir_head.astype(cdt), cdt) + W["bd0"])
+    if spec.se_dim:
+        d_in = d_in + _mm(se, W["wd0s"], cdt)
+    d = leaky(d_in)
+    dacts = [d]
+    for wd, bd in W["dir_rest"]:
+        d = leaky(_mm(d, wd, cdt) + bd)
+        dacts.append(d)
+    rgb = _mm(d, W["wrgb"], cdt) + W["brgb"]
+    s = leaky(_mm(feat, W["ws0"], cdt) + W["bs0"])
+    sacts = [s]
+    for wsk, bsk in W["seg_rest"]:
+        s = leaky(_mm(s, wsk, cdt) + bsk)
+        sacts.append(s)
+    seg = _mm(s, W["wseg"], cdt) + W["bseg"]
+    if keep:
+        acts.update(feat=feat, dacts=dacts, sacts=sacts, expand=expand,
+                    dir_head=dir_head)
+        return rgb, seg, alpha, acts
+    return rgb, seg, alpha
+
+
+def nerf_rayd_forward(spec: NerfRaydSpec, pts_raw: jnp.ndarray,
+                      dirs_ray: jnp.ndarray, se, params,
+                      pe_spec: PESpec, dir_pe_spec: PESpec) -> jnp.ndarray:
+    """pts_raw (P, <=pe in_width) packed [xyz(+ambient)], dirs_ray (R, 3)
+    with P == R * spec.samples, se (P, se_dim) or None -> (P, 16)."""
+    P = pts_raw.shape[0]
+    S = spec.samples
+    assert TILE % S == 0
+    Pp = _rup(P, TILE)
+    Rp = Pp // S
+    G = TILE // S
+    xw = pe_spec.in_width
+    dw = dir_pe_spec.in_width
+    # pts_raw may be WIDER than the PE input (the deform pair's packed
+    # 128-col output): the kernel then takes full-width blocks (Mosaic
+    # requires lane dims of 128 or the whole array) and lane-slices to xw
+    # in-kernel — no XLA slice/pad materializes in between.
+    xp = (pts_raw if pts_raw.shape[1] >= xw
+          else jnp.pad(pts_raw, ((0, 0), (0, xw - pts_raw.shape[1]))))
+    if Pp > P:
+        xp = jnp.pad(xp, ((0, Pp - P), (0, 0)))
+    xw_blk = xp.shape[1]
+    dp = jnp.pad(dirs_ray, ((0, Rp - dirs_ray.shape[0]),
+                            (0, dw - dirs_ray.shape[1])))
+    se_in = []
+    if spec.se_dim:
+        se_in = [jnp.pad(se, ((0, Pp - P), (0, 0))).astype(
+            jnp.dtype(spec.compute_dtype))]
+    flat = _flatten_nerf_weights_rayd(spec, params)
+    n_flat = len(flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    dpe_in = _pe_input_arrays(dir_pe_spec)
+    n_pe, n_dpe = len(pe_in), len(dpe_in)
+    cdt = jnp.dtype(spec.compute_dtype)
+    n_se = len(se_in)
+
+    def kernel(x_ref, d_ref, *refs):
+        se_refs = refs[:n_se]
+        w_refs = refs[n_se:n_se + n_flat]
+        pe_refs = refs[n_se + n_flat:n_se + n_flat + n_pe]
+        dpe_refs = refs[n_se + n_flat + n_pe:n_se + n_flat + n_pe + n_dpe]
+        o_ref = refs[n_se + n_flat + n_pe + n_dpe]
+        W = _rayd_unflatten(spec, [r[:] for r in w_refs])
+        x_raw = x_ref[:]
+        if xw_blk > xw:
+            x_raw = x_raw[:, :xw]
+        x_t = _pe_apply(x_raw, pe_refs).astype(cdt)
+        dir_pe = _pe_apply(d_ref[:], dpe_refs).astype(cdt)
+        se_t = se_refs[0][:] if n_se else None
+        rgb, seg, alpha = _rayd_forward_math(spec, x_t, dir_pe, se_t, W)
+        out = jnp.concatenate(
+            [rgb[:, :3], seg[:, :12], alpha[:, :1],
+             jnp.zeros((rgb.shape[0], 112), rgb.dtype)], axis=-1)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+    se_specs = ([pl.BlockSpec((TILE, spec.se_dim), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] if n_se else [])
+    out = pl.pallas_call(
+        kernel,
+        grid=(Pp // TILE,),
+        in_specs=[pl.BlockSpec((TILE, xw_blk), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, dw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + se_specs
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec) + _pe_block_specs(dir_pe_spec),
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, 128), pts_raw.dtype),
+        interpret=_interpret(),
+    )(xp, dp, *se_in, *flat, *pe_in, *dpe_in)
+    return out[:P, :16]
+
+
+def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
+                  pe_spec: PESpec, dir_pe_spec: PESpec):
+    """-> (gx wrt pts_raw, gse wrt se (or None), grads pytree). No dirs
+    cotangent (camera data, never differentiated)."""
+    P = pts_raw.shape[0]
+    S = spec.samples
+    assert BWD_TILE % S == 0
+    Pp = _rup(P, BWD_TILE)
+    Rp = Pp // S
+    G = BWD_TILE // S
+    raw_in = pts_raw.shape[1]
+    xw = pe_spec.in_width
+    dw = dir_pe_spec.in_width
+    xp = (pts_raw if raw_in >= xw
+          else jnp.pad(pts_raw, ((0, 0), (0, xw - raw_in))))
+    if Pp > P:
+        xp = jnp.pad(xp, ((0, Pp - P), (0, 0)))
+    xw_blk = xp.shape[1]
+    # gx comes back at the INPUT's width: for wide (packed) inputs the
+    # kernel zero-fills the unread columns so no XLA pad is needed after.
+    gx_width = raw_in if raw_in >= xw else xw
+    dp = jnp.pad(dirs_ray, ((0, Rp - dirs_ray.shape[0]),
+                            (0, dw - dirs_ray.shape[1])))
+    gp = jnp.pad(g, ((0, Pp - P), (0, 128 - g.shape[1])))
+    se_in = []
+    if spec.se_dim:
+        se_in = [jnp.pad(se, ((0, Pp - P), (0, 0))).astype(
+            jnp.dtype(spec.compute_dtype))]
+    flat = _flatten_nerf_weights_rayd(spec, params)
+    n_flat = len(flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    dpe_in = _pe_input_arrays(dir_pe_spec)
+    n_pe, n_dpe = len(pe_in), len(dpe_in)
+    n_se = len(se_in)
+    n_grid = Pp // BWD_TILE
+    cdt = jnp.dtype(spec.compute_dtype)
+    leakyd = _dact_from_out("leaky")
+
+    def kernel(x_ref, d_ref, g_ref, *refs):
+        se_refs = refs[:n_se]
+        w_refs = refs[n_se:n_se + n_flat]
+        pe_refs = refs[n_se + n_flat:n_se + n_flat + n_pe]
+        dpe_refs = refs[n_se + n_flat + n_pe:n_se + n_flat + n_pe + n_dpe]
+        o_at = n_se + n_flat + n_pe + n_dpe
+        gx_ref = refs[o_at]
+        gse_ref = refs[o_at + 1] if n_se else None
+        dw_refs = refs[o_at + 1 + n_se:]
+        W = _rayd_unflatten(spec, [r[:] for r in w_refs])
+        x_raw = x_ref[:]
+        if xw_blk > xw:
+            x_raw = x_raw[:, :xw]
+        x_t = _pe_apply(x_raw, pe_refs)
+        dir_pe = _pe_apply(d_ref[:], dpe_refs).astype(cdt)
+        se_t = se_refs[0][:] if n_se else None
+        rgb, seg, alpha, acts = _rayd_forward_math(spec, x_t, dir_pe, se_t,
+                                                   W, keep=True)
+        g_t = g_ref[:]
+        grgb = jnp.concatenate(
+            [g_t[:, :3], jnp.zeros_like(g_t[:, :125])], axis=-1)
+        gseg = jnp.concatenate(
+            [g_t[:, 3:15], jnp.zeros_like(g_t[:, :116])], axis=-1)
+        galpha = jnp.concatenate(
+            [g_t[:, 15:16], jnp.zeros_like(g_t[:, :127])], axis=-1)
+
+        feat = acts["feat"]
+        dacts = acts["dacts"]
+        sacts = acts["sacts"]
+
+        # seg head
+        dwseg = _mmT(sacts[3], gseg, cdt)
+        dbseg = jnp.sum(gseg, axis=0, keepdims=True)
+        gs = _mm(gseg, W["wseg"].T, cdt)
+        seg_grads = []
+        for k in range(3, 0, -1):
+            gz = gs * leakyd(sacts[k])
+            wsk, _ = W["seg_rest"][k - 1]
+            seg_grads.append((_mmT(sacts[k - 1], gz, cdt),
+                              jnp.sum(gz, axis=0, keepdims=True)))
+            gs = _mm(gz, wsk.T, cdt)
+        gz0 = gs * leakyd(sacts[0])
+        dws0 = _mmT(feat, gz0, cdt)
+        dbs0 = jnp.sum(gz0, axis=0, keepdims=True)
+        gfeat = _mm(gz0, W["ws0"].T, cdt)
+
+        # dir head
+        dwrgb = _mmT(dacts[3], grgb, cdt)
+        dbrgb = jnp.sum(grgb, axis=0, keepdims=True)
+        gd = _mm(grgb, W["wrgb"].T, cdt)
+        dir_grads = []
+        for k in range(3, 0, -1):
+            gz = gd * leakyd(dacts[k])
+            wd, _ = W["dir_rest"][k - 1]
+            dir_grads.append((_mmT(dacts[k - 1], gz, cdt),
+                              jnp.sum(gz, axis=0, keepdims=True)))
+            gd = _mm(gz, wd.T, cdt)
+        gzd0 = gd * leakyd(dacts[0])
+        dwd0f = _mmT(feat, gzd0, cdt)
+        # per-ray sum of gzd0, then contract with the per-ray dir PE
+        gsum = _mmT(acts["expand"], gzd0, cdt)          # (G, B)
+        dwd0d = _mmT(dir_pe, gsum, cdt)                 # (pe_dir, B)
+        dbd0 = jnp.sum(gzd0, axis=0, keepdims=True)
+        gfeat = gfeat + _mm(gzd0, W["wd0f"].T, cdt)
+        if n_se:
+            dwd0s = _mmT(se_t, gzd0, cdt)
+            gse_ref[:] = _mm(gzd0, W["wd0s"].T, cdt).astype(gse_ref.dtype)
+
+        # alpha head
+        dwa = _mmT(feat, galpha, cdt)
+        dba = jnp.sum(galpha, axis=0, keepdims=True)
+        gfeat = gfeat + _mm(galpha, W["wa"].T, cdt)
+
+        # feat (linear)
+        h_last = acts["trunk"][-1]
+        dwf = _mmT(h_last, gfeat, cdt)
+        dbf = jnp.sum(gfeat, axis=0, keepdims=True)
+        gh = _mm(gfeat, W["wf"].T, cdt)
+
+        tspec = TrunkSpec(spec.num_layers, spec.skip_every, spec.in_dim,
+                          spec.hidden, 0, act="leaky",
+                          compute_dtype=spec.compute_dtype)
+        gx, dws, dbs = _trunk_backward(tspec, x_t, W["ws"], W["bs"],
+                                       acts["trunk"], gh)
+        if _BWD_SKIP_GX:
+            gx_ref[:] = jnp.zeros(gx_ref.shape, gx_ref.dtype)
+        else:
+            gx = _pe_bwd(x_raw, gx, pe_refs)
+            if gx_width > gx.shape[1]:
+                gx = jnp.concatenate(
+                    [gx, jnp.zeros((gx.shape[0], gx_width - gx.shape[1]),
+                                   gx.dtype)], axis=-1)
+            gx_ref[:] = gx.astype(gx_ref.dtype)
+
+        grads = []
+        for i in range(spec.num_layers):
+            if i == spec.skip_every and i > 0:
+                grads.extend([dws[i][0], dws[i][1]])
+            else:
+                grads.append(dws[i])
+            grads.append(dbs[i])
+        grads.extend([dwf, dbf, dwa, dba, dwd0f, dwd0d])
+        if n_se:
+            grads.append(dwd0s)
+        grads.append(dbd0)
+        for dw_, db_ in reversed(dir_grads):
+            grads.extend([dw_, db_])
+        grads.extend([dwrgb, dbrgb, dws0, dbs0])
+        for dw_, db_ in reversed(seg_grads):
+            grads.extend([dw_, db_])
+        grads.extend([dwseg, dbseg])
+        if _BWD_SKIP_DW:
+            grads = [jnp.zeros(r.shape, jnp.float32) for r in dw_refs]
+        _accumulate(dw_refs, grads, pl.program_id(0) == 0)
+
+    out_shapes = [jax.ShapeDtypeStruct((Pp, gx_width), pts_raw.dtype)]
+    out_specs = [pl.BlockSpec((BWD_TILE, gx_width), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if n_se:
+        out_shapes.append(jax.ShapeDtypeStruct((Pp, spec.se_dim),
+                                               pts_raw.dtype))
+        out_specs.append(pl.BlockSpec((BWD_TILE, spec.se_dim),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes += [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat]
+    out_specs += [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                               memory_space=pltpu.VMEM) for f in flat]
+    se_specs = ([pl.BlockSpec((BWD_TILE, spec.se_dim), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] if n_se else [])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((BWD_TILE, xw_blk), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, dw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BWD_TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + se_specs
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec) + _pe_block_specs(dir_pe_spec),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, dp, gp, *se_in, *flat, *pe_in, *dpe_in)
+
+    gx = outs[0][:P, :raw_in]
+    gse = outs[1][:P].astype(pts_raw.dtype) if n_se else None
+    flat_grads = list(outs[1 + n_se:])
+
+    it = iter(flat_grads)
+    grads_tree = {"trunk": [], "dir": [], "seg": []}
+    for i, p in enumerate(params["trunk"]):
+        w = p["w"]
+        if i == 0:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        elif i == spec.skip_every:
+            hid = w.shape[1]
+            dwh = next(it)
+            dwx = next(it)
+            dw = jnp.concatenate([dwh[:hid, :hid],
+                                  dwx[:w.shape[0] - hid, :hid]], axis=0)
+        else:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        grads_tree["trunk"].append({"w": dw, "b": db})
+
+    def head(p):
+        dw = next(it)[:p["w"].shape[0], :p["w"].shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        return {"w": dw, "b": db}
+
+    grads_tree["fc_feat"] = head(params["fc_feat"])
+    grads_tree["fc_alpha"] = head(params["fc_alpha"])
+    d0 = params["dir"][0]
+    hid = params["fc_feat"]["w"].shape[1]
+    B_real = d0["w"].shape[1]
+    dwd0f = next(it)[:hid, :B_real]
+    dwd0d = next(it)[:spec.dir_raw, :B_real]
+    parts = [dwd0f, dwd0d]
+    if spec.se_dim:
+        parts.append(next(it)[:spec.se_dim, :B_real])
+    dw0 = jnp.concatenate(parts, axis=0)
+    db0 = next(it)[0, :d0["b"].shape[0]]
+    grads_tree["dir"].append({"w": dw0, "b": db0})
+    for p in params["dir"][1:]:
+        grads_tree["dir"].append(head(p))
+    grads_tree["fc_rgb"] = head(params["fc_rgb"])
+    for p in params["seg"]:
+        grads_tree["seg"].append(head(p))
+    grads_tree["fc_seg"] = head(params["fc_seg"])
+    return gx, gse, grads_tree
+
+
+def _rayd_spec_of(num_layers, skip_every, pe_dim, dir_raw, se_dim, samples,
+                  compute_dtype, params):
+    hidden = params["fc_feat"]["w"].shape[1]
+    return NerfRaydSpec(num_layers=num_layers, skip_every=skip_every,
+                        in_dim=_rup(pe_dim), hidden=_rup(hidden),
+                        branch=_rup(hidden // 2), dir_raw=dir_raw,
+                        se_dim=se_dim, samples=samples,
+                        compute_dtype=compute_dtype), hidden
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _nerf_rayd_fused(num_layers, skip_every, pe_dim, se_dim, samples,
+                     compute_dtype, pe_spec, dir_pe_spec,
+                     params, pts_raw, dirs_ray, se, cond):
+    spec, hidden = _rayd_spec_of(num_layers, skip_every, pe_dim,
+                                 dir_pe_spec.raw_out, se_dim, samples,
+                                 compute_dtype, params)
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    p2 = dict(params)
+    p2["trunk"] = trunk
+    return nerf_rayd_forward(spec, pts_raw, dirs_ray, se, p2,
+                             pe_spec, dir_pe_spec)
+
+
+def _nerf_rayd_fwd(num_layers, skip_every, pe_dim, se_dim, samples,
+                   compute_dtype, pe_spec, dir_pe_spec,
+                   params, pts_raw, dirs_ray, se, cond):
+    y = _nerf_rayd_fused(num_layers, skip_every, pe_dim, se_dim, samples,
+                         compute_dtype, pe_spec, dir_pe_spec,
+                         params, pts_raw, dirs_ray, se, cond)
+    return y, (params, pts_raw, dirs_ray, se, cond)
+
+
+def _nerf_rayd_bwd(num_layers, skip_every, pe_dim, se_dim, samples,
+                   compute_dtype, pe_spec, dir_pe_spec, res, g):
+    params, pts_raw, dirs_ray, se, cond = res
+    spec, hidden = _rayd_spec_of(num_layers, skip_every, pe_dim,
+                                 dir_pe_spec.raw_out, se_dim, samples,
+                                 compute_dtype, params)
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    p2 = dict(params)
+    p2["trunk"] = trunk
+    gx, gse, grads_folded = nerf_rayd_vjp(spec, pts_raw, dirs_ray, se, p2, g,
+                                          pe_spec, dir_pe_spec)
+    trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
+                                            grads_folded["trunk"], cond,
+                                            skip_every, hidden, pe_dim)
+    grads = dict(grads_folded)
+    grads["trunk"] = trunk_grads
+    if gse is None and se is not None:
+        gse = jnp.zeros_like(se)
+    return (grads, gx, jnp.zeros_like(dirs_ray), gse, dcond)
+
+
+_nerf_rayd_fused.defvjp(_nerf_rayd_fwd, _nerf_rayd_bwd)
+
+
+def nerf_mlp_apply_rayd(params, num_layers: int, skip_every: int,
+                        pts_raw: jnp.ndarray, dirs_ray: jnp.ndarray,
+                        se, samples: int, cond: jnp.ndarray,
+                        compute_dtype: str = "bfloat16",
+                        pe_spec: PESpec = None,
+                        dir_pe_spec: PESpec = None) -> jnp.ndarray:
+    """Fused NeRFMLP with per-ray direction PE. pts_raw (P, <=in_width)
+    packed raw [warped xyz, ambient]; dirs_ray (R, 3) RAW per-ray directions
+    with P == R * samples (ray-major point order); se (P, se_dim) spatial
+    embedding or None; cond = per-frame trunk conditioning. Returns (P, 16).
+    Dirs carry no cotangent (camera data)."""
+    pe_dim = pe_spec.raw_out
+    se_dim = se.shape[-1] if se is not None else 0
+    return _nerf_rayd_fused(num_layers, skip_every, pe_dim, se_dim, samples,
+                            compute_dtype, pe_spec, dir_pe_spec,
+                            params, pts_raw, dirs_ray,
+                            se if se_dim else None, cond)
 
 
 def nerf_mlp_forward_fused(spec: NerfKernelSpec, pts_embed: jnp.ndarray,

@@ -97,8 +97,10 @@ def render_rays(
     field_fn=None,
 ) -> RayRenderResult:
     """Render one batch of rays. ``field_fn`` optionally overrides the
-    per-point field evaluation (used to swap in the fused Pallas path):
-    field_fn(level, pts_flat, dirs_flat) -> (P, 16)."""
+    field evaluation (used to swap in the fused Pallas path):
+    field_fn(level, pts_flat (R*S,3), dirs_ray (R,3), S) -> (R*S, 16),
+    points ray-major — dirs stay per-ray so the Pallas kernel can encode
+    each direction once instead of once per sample."""
     num_rays = ray_origins.shape[0]
     dtype = ray_origins.dtype
     needs_rng = settings.perturb or settings.radiance_field_noise_std > 0
@@ -121,9 +123,7 @@ def render_rays(
         pts = ray_origins[:, None, :] + ray_directions[:, None, :] * z_vals[..., None]
         S = z_vals.shape[-1]
         pts_flat = pts.reshape(-1, 3)
-        dirs_flat = jnp.broadcast_to(ray_directions[:, None, :],
-                                     (num_rays, S, 3)).reshape(-1, 3)
-        raw = field_fn(level, pts_flat, dirs_flat)
+        raw = field_fn(level, pts_flat, ray_directions, S)
         raw = raw.reshape(num_rays, S, raw.shape[-1])
         if background_prior is not None:
             raw = raw.at[:, -1, :-1].set(background_prior)

@@ -160,3 +160,115 @@ def test_pipeline_pallas_path_matches_oracle(setup):
                                np.asarray(out_o.rgb_fine), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_p.disp_fine),
                                np.asarray(out_o.disp_fine), rtol=1e-3)
+
+
+def test_deform_pair_matches_separate_kernels(setup):
+    """Merged warp+hyper kernel == the two single-net fused kernels,
+    fwd and grads (params, points, conditioning)."""
+    from sahs_tpu.ops.pallas.field_mlp import (PESpec, _rup,
+                                               deform_pair_apply_fused)
+    from sahs_tpu.ops.encoding import encoded_dim
+    spec, params, _, pe_x, driving, pose_enc, cond = setup
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (300, 3)).astype(np.float32))
+    pe_spec = PESpec(groups=((0, 3, 10, True, True),), in_width=8,
+                     out_width=_rup(encoded_dim(3, 10, True)))
+    wp = (spec.warp.num_layers, spec.warp.hidden_size,
+          spec.warp.skip_connect_every, 3, "tanh")
+    hp = (spec.hyper.num_layers, spec.hyper.hidden_size,
+          spec.hyper.skip_connect_every, spec.hyper.ambient_coord_dim,
+          "linear")
+
+    def pair(pw, ph, x, c):
+        packed = deform_pair_apply_fused(pw, ph, wp, hp, x, c,
+                                         compute_dtype="float32",
+                                         pe_spec=pe_spec)
+        return packed[:, :3] - x, packed[:, 3:3 + hp[3]]
+
+    def sep(pw, ph, x, c):
+        dx = deform_mlp_apply_fused(pw, wp[0], wp[1], wp[2], x, c, 3,
+                                    out_act="tanh", compute_dtype="float32",
+                                    pe_spec=pe_spec)
+        amb = deform_mlp_apply_fused(ph, hp[0], hp[1], hp[2], x, c, hp[3],
+                                     out_act="linear",
+                                     compute_dtype="float32",
+                                     pe_spec=pe_spec)
+        return dx, amb
+
+    dx_p, amb_p = pair(params["warp"], params["hyper"], pts, cond)
+    dx_s, amb_s = sep(params["warp"], params["hyper"], pts, cond)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_s),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(amb_p), np.asarray(amb_s),
+                               atol=1e-6, rtol=1e-5)
+
+    cot = (jnp.asarray(rng.randn(300, 3).astype(np.float32)),
+           jnp.asarray(rng.randn(300, hp[3]).astype(np.float32)))
+
+    def loss(fn, pw, ph, x, c):
+        dx, amb = fn(pw, ph, x, c)
+        return jnp.vdot(dx, cot[0]) + jnp.vdot(amb, cot[1])
+
+    gp = jax.grad(lambda *a: loss(pair, *a), argnums=(0, 1, 2, 3))(
+        params["warp"], params["hyper"], pts, cond)
+    gs = jax.grad(lambda *a: loss(sep, *a), argnums=(0, 1, 2, 3))(
+        params["warp"], params["hyper"], pts, cond)
+    # the pair kernel sums the two PE cotangents BEFORE the shared PE
+    # backward; the separate path adds after — f32 reassociation only
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_nerf_rayd_matches_per_point_kernel(setup):
+    """Per-ray-dir-PE NeRF kernel == the per-point fused kernel, fwd and
+    grads (params, points, se, cond); dirs cotangent is intentionally zero
+    in the rayd variant (never needed: camera data)."""
+    from sahs_tpu.ops.encoding import encoded_dim
+    from sahs_tpu.ops.pallas.field_mlp import (PESpec, _rup,
+                                               nerf_mlp_apply_rayd)
+    spec, params, _, _, driving, pose_enc, cond = setup
+    rng = np.random.RandomState(11)
+    R, S = 25, 16
+    P = R * S
+    pts5 = jnp.asarray(
+        np.concatenate([rng.uniform(-0.3, 0.3, (P, 3)),
+                        rng.uniform(-0.5, 0.5, (P, 2))], 1).astype(np.float32))
+    dirs_ray = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    dirs_flat = jnp.broadcast_to(dirs_ray[:, None, :], (R, S, 3)).reshape(-1, 3)
+    se = jnp.asarray(rng.randn(P, 32).astype(np.float32))
+    nerf_cond = pose_enc
+
+    pts_pe = PESpec(groups=((0, 3, 10, True, True), (3, 2, 4, True, True)),
+                    in_width=8, out_width=_rup(63 + 18))
+    extra_pe = PESpec(groups=((0, 3, 4, True, True), (3, 32, 0, True, True)),
+                      in_width=40, out_width=_rup(27 + 32))
+    dir_pe = PESpec(groups=((0, 3, 4, True, True),), in_width=8,
+                    out_width=_rup(27))
+
+    def rayd(p, x, s, c):
+        return nerf_mlp_apply_rayd(p, 8, 3, x, dirs_ray, s, S, c,
+                                   compute_dtype="float32",
+                                   pe_spec=pts_pe, dir_pe_spec=dir_pe)
+
+    def ppoint(p, x, s, c):
+        extra = jnp.concatenate([dirs_flat, s], axis=-1)
+        return nerf_mlp_apply_fused(p, 8, 3, x, extra, c,
+                                    compute_dtype="float32",
+                                    pe_spec=pts_pe, extra_pe_spec=extra_pe)
+
+    y_r = rayd(params["fine"], pts5, se, nerf_cond)
+    y_p = ppoint(params["fine"], pts5, se, nerf_cond)
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_p),
+                               atol=2e-5, rtol=1e-4)
+
+    cot = jnp.asarray(rng.randn(P, 16).astype(np.float32))
+    g_r = jax.grad(lambda *a: jnp.vdot(rayd(*a), cot),
+                   argnums=(0, 1, 2, 3))(params["fine"], pts5, se, nerf_cond)
+    g_p = jax.grad(lambda *a: jnp.vdot(ppoint(*a), cot),
+                   argnums=(0, 1, 2, 3))(params["fine"], pts5, se, nerf_cond)
+    for a, b in zip(jax.tree_util.tree_leaves(g_r),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)

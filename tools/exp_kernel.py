@@ -50,7 +50,7 @@ def main():
     rng = np.random.RandomState(0)
     pts = jnp.asarray(rng.uniform(-0.4, 0.4, (P, 3)).astype(np.float32))
     cond = jnp.asarray(rng.randn(112).astype(np.float32))
-    warp_pe = PESpec(groups=((0, 3, 10, True, True),), in_width=128,
+    warp_pe = PESpec(groups=((0, 3, 10, True, True),), in_width=8,
                      out_width=_rup(encoded_dim(3, 10, True)))
     pe_fn = get_embedding_function(10, True, True)
     pe_x = pe_fn(pts)  # (P, 63)
@@ -97,6 +97,29 @@ def main():
             vcot), argnums=(0,))
         timeit("nerf fwd+bwd", lambda p, eps: sum(
             jnp.sum(x) for x in jax.tree.leaves(f(p, eps))), params["fine"])
+    if "rayd_fwd" in exps or "rayd_bwd" in exps:
+        from sahs_tpu.ops.pallas.field_mlp import nerf_mlp_apply_rayd
+        S = 128
+        dirs_ray = dirs[::S]
+        dir_pe = PESpec(groups=((0, 3, 4, True, True),), in_width=8,
+                        out_width=_rup(27))
+        pts_pe8 = PESpec(groups=((0, 3, 10, True, True), (3, 2, 4, True, True)),
+                         in_width=8, out_width=_rup(63 + 18))
+
+        def rayd(p, x):
+            return nerf_mlp_apply_rayd(p, 8, 3, x, dirs_ray, se, S, cond[76:],
+                                       pe_spec=pts_pe8, dir_pe_spec=dir_pe)
+        if "rayd_fwd" in exps:
+            timeit("rayd fwd", lambda p, eps: jnp.sum(rayd(p, pts5 + eps)),
+                   params["fine"])
+        if "rayd_bwd" in exps:
+            vcot = jnp.asarray(rng.randn(P, 16).astype(np.float32))
+            f = jax.grad(lambda p, x: jnp.vdot(rayd(p, x), vcot),
+                         argnums=(0, 1))
+            timeit("rayd fwd+bwd", lambda p, eps: sum(
+                jnp.sum(x) for x in jax.tree.leaves(f(p, pts5 + eps))),
+                params["fine"])
+
     if "warp_bwd" in exps:
         wc = jnp.asarray(rng.randn(P, 3).astype(np.float32))
         f = jax.grad(lambda p, eps: jnp.vdot(

@@ -80,10 +80,13 @@ def main():
         timeit("grid_full", lambda g, c, eps: sum(
             jnp.sum(x) for x in f(g + eps, c)), G, pts)
 
+    S = 128  # fine-level samples per ray
+    dirs_ray = dirs[::S]
+
     def field(level, p, mp=None):
         ff = make_field_fn(mp if mp is not None else params, spec, audio,
                            pose, use_pallas=cfg.runtime.use_pallas)
-        return ff(level, p, dirs)
+        return ff(level, p, dirs_ray, S)
 
     vcot = jnp.asarray(rng.randn(P, 16).astype(np.float32))
     if "field_fwd" in cases:
@@ -98,7 +101,7 @@ def main():
     from sahs_tpu.ops.pallas.field_mlp import (PESpec, _rup,
                                                deform_mlp_apply_fused)
     from sahs_tpu.ops.encoding import encoded_dim
-    warp_pe = PESpec(groups=((0, 3, 10, True, True),), in_width=128,
+    warp_pe = PESpec(groups=((0, 3, 10, True, True),), in_width=8,
                      out_width=_rup(encoded_dim(3, 10, True)))
     cond = jnp.asarray(rng.randn(112).astype(np.float32))
 
@@ -115,6 +118,27 @@ def main():
         timeit("warp_bwd", lambda p, eps: sum(
             jnp.sum(x) for x in jax.tree.leaves(f(params["warp"], p + eps))),
             pts)
+    if "pair_fwd" in cases or "pair_bwd" in cases:
+        from sahs_tpu.ops.pallas.field_mlp import deform_pair_apply_fused
+        wp = (6, 128, 4, 3, "tanh")
+        hp = (6, 64, 4, 2, "linear")
+
+        def pair(pw, ph, x):
+            return deform_pair_apply_fused(pw, ph, wp, hp, x, cond,
+                                           compute_dtype="bfloat16",
+                                           pe_spec=warp_pe)
+        if "pair_fwd" in cases:
+            timeit("pair_fwd", lambda pw, ph, eps: jnp.sum(
+                pair(pw, ph, pts + eps)), params["warp"], params["hyper"])
+        if "pair_bwd" in cases:
+            pc = jnp.asarray(rng.randn(P, 128).astype(np.float32))
+            f = jax.grad(lambda pw, ph, p: jnp.vdot(pair(pw, ph, p), pc),
+                         argnums=(0, 1, 2))
+            timeit("pair_bwd", lambda pw, ph, eps: sum(
+                jnp.sum(x) for x in jax.tree.leaves(
+                    f(pw, ph, pts + eps))),
+                params["warp"], params["hyper"])
+
     if "hyper_bwd" in cases:
         def hyper(p, x):
             return deform_mlp_apply_fused(p, 6, 64, 4, x, cond, 2,

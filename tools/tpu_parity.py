@@ -1,0 +1,106 @@
+"""On-TPU Pallas <-> jnp-oracle parity check (VERDICT r1 #3).
+
+Runs the SAME ray batch through the fused Pallas field kernels
+(use_pallas=True) and the pure-jnp oracle (use_pallas=False) ON DEVICE —
+Mosaic-compiled, not interpret mode — and reports max |rel err| of the
+rendered outputs and of the parameter gradients, in f32 and bf16 compute
+modes. Thresholds: f32 <= 1e-5 (same math, different fusion), bf16 <= 1e-2
+(bf16 matmuls vs f32 oracle).
+
+Usage: python tools/tpu_parity.py   (exit code 1 on threshold violation)
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sahs_tpu.config import Config
+from sahs_tpu.models.nerface import ModelSpec, init_model_params
+from sahs_tpu.render.pipeline import RenderSettings, render_rays
+
+R = 1024  # rays (multiple of tile/sample alignment)
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(np.max(np.abs(a - b) / (np.abs(b) + 1e-3)))
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("NOTE: not on TPU — kernels run in interpret mode; the "
+              "comparison is still valid but does not exercise Mosaic.")
+    cfg = Config()
+    spec = ModelSpec.from_config(cfg)
+    params = init_model_params(jax.random.PRNGKey(0), spec)
+    rng = np.random.RandomState(0)
+    ro = jnp.zeros((R, 3), jnp.float32)
+    rd = jnp.asarray((rng.randn(R, 3) * 0.05
+                      + np.array([0, 0, -1.0])).astype(np.float32))
+    audio = jnp.asarray(rng.randn(16, 29).astype(np.float32))
+    Rm = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    pose = jnp.asarray(np.concatenate(
+        [Rm, np.array([[0], [0], [0.6]], np.float32)], 1))
+    bg = jnp.asarray(rng.rand(R, 15).astype(np.float32))
+    cot = jnp.asarray(rng.randn(R, 15).astype(np.float32))
+
+    base = dict(num_coarse=64, num_fine=64, perturb=False,
+                radiance_field_noise_std=0.0)
+
+    def make_fns(use_pallas, dtype):
+        s = RenderSettings(**base, use_pallas=use_pallas, compute_dtype=dtype)
+
+        @jax.jit
+        def fwd(p):
+            out = render_rays(p, spec, s, ro, rd, 0.48, 1.08, audio, pose,
+                              background_prior=bg)
+            return out.rgb_fine
+
+        @jax.jit
+        def grad(p):
+            return jax.grad(lambda pp: jnp.vdot(
+                render_rays(pp, spec, s, ro, rd, 0.48, 1.08, audio, pose,
+                            background_prior=bg).rgb_fine, cot))(p)
+        return fwd, grad
+
+    # Matmul precision: the oracle must run true-f32 matmuls for the f32
+    # comparison (TPU default is bf16-3pass).
+    jax.config.update("jax_default_matmul_precision", "float32")
+    fwd_o, grad_o = make_fns(False, "float32")
+    y_o = jax.device_get(fwd_o(params))
+    g_o = jax.device_get(grad_o(params))
+
+    failures = []
+    for dtype, thresh_y, thresh_g in (("float32", 1e-5, 5e-4),
+                                      ("bfloat16", 1e-2, 5e-2)):
+        fwd_p, grad_p = make_fns(True, dtype)
+        y_p = jax.device_get(fwd_p(params))
+        g_p = jax.device_get(grad_p(params))
+        ey = rel_err(y_p, y_o)
+        leaves_p = jax.tree_util.tree_leaves(g_p)
+        leaves_o = jax.tree_util.tree_leaves(g_o)
+        eg = max(rel_err(a, b) for a, b in zip(leaves_p, leaves_o))
+        ok_y = ey <= thresh_y
+        ok_g = eg <= thresh_g
+        print(f"[{dtype:8s}] output max-rel-err {ey:.3e} "
+              f"(<= {thresh_y:g}: {'OK' if ok_y else 'FAIL'})   "
+              f"grad max-rel-err {eg:.3e} "
+              f"(<= {thresh_g:g}: {'OK' if ok_g else 'FAIL'})")
+        if not (ok_y and ok_g):
+            failures.append(dtype)
+    if failures:
+        print(f"PARITY FAIL: {failures}")
+        sys.exit(1)
+    print("PARITY OK")
+
+
+if __name__ == "__main__":
+    main()
