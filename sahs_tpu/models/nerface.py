@@ -285,7 +285,8 @@ def make_field_fn(params: Params, spec: ModelSpec,
         out_width=_rup(encoded_dim(3, spec.num_encoding_fn_dir,
                                    spec.include_input_dir)))
 
-    def field_fn(level, pts_flat, dirs_ray, samples):
+    def deform_and_se(pts_flat):
+        """Shared front half: packed canonical points + spatial embedding."""
         warped = pts_flat
         pts_raw = pts_flat
         if pair_ok:

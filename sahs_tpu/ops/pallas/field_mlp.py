@@ -196,8 +196,13 @@ def _pe_f32_dot(a, b):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     bb = b.astype(jnp.bfloat16)
-    return (jnp.dot(hi, bb, preferred_element_type=jnp.float32)
-            + jnp.dot(lo, bb, preferred_element_type=jnp.float32))
+    # precision must be EXPLICIT: a global jax_default_matmul_precision of
+    # "float32" would otherwise stamp fp32 contract precision onto these
+    # bf16-operand dots, which Mosaic rejects ("Bad lhs type").
+    return (jnp.dot(hi, bb, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+            + jnp.dot(lo, bb, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT))
 
 
 # Diagnostic switch: SAHS_PE_SIN=0 replaces the transcendental with a cheap
@@ -1835,6 +1840,653 @@ def nerf_mlp_apply_rayd(params, num_layers: int, skip_every: int,
                             compute_dtype, pe_spec, dir_pe_spec,
                             params, pts_raw, dirs_ray,
                             se if se_dim else None, cond)
+
+
+# ===========================================================================
+# Fully-fused render level: NeRF MLP + volume compositing in ONE kernel
+#
+# The rayd kernel's point tiles cover whole rays, so the per-ray
+# exclusive-cumprod compositing (reference volume_rendering_utils.py:7-78)
+# can run inside the kernel and the kernel can emit PER-RAY outputs
+# (rgb_map (R, 15), weights (R, S)) instead of the (P, 128) raw field.
+# This removes the raw round-trip AND the whole XLA compositing chain —
+# every (R, S, 15) op out there is lane-padded to 128 (~134 MB each).
+#
+# Mosaic-friendly formulation (no 3-D reshapes):
+#   - all per-point scalars live as (TILE, 1) columns;
+#   - ray<->point moves are 0/1-matrix matmuls: expand (TILE, G) broadcasts
+#     per-ray rows to points, sel (TILE, S) picks the in-ray sample slot;
+#   - the exclusive cumprod is exp(M @ log(1-alpha+1e-10)) with M the
+#     (TILE, TILE) block-diagonal strictly-lower 0/1 matrix (one matmul);
+#   - 0/1 matrices are exact in bf16; the f32 operand is hi/lo-split like
+#     the PE dot, so the compositing matches the f32 oracle to rounding.
+# ===========================================================================
+
+def _sel_matrix(tile: int, S: int, dtype):
+    """(tile, S) 0/1: sel[p, s] = [p % S == s]."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, S), 1)
+    return ((row % S) == col).astype(dtype)
+
+
+def _cum_matrix(tile: int, S: int, upper: bool):
+    """(tile, tile) bf16 block-diagonal strictly-lower (or strictly-upper,
+    for the transposed backward contraction) 0/1 matrix: same-ray pairs
+    with q < p (resp. q > p)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    q = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    same = (p // S) == (q // S)
+    tri = (q > p) if upper else (q < p)
+    return (same & tri).astype(jnp.bfloat16)
+
+
+def _01dot(mask, v, exact: bool):
+    """mask @ v where mask is 0/1 (exact in bf16) and v is f32.
+    exact=True: hi/lo split of v -> f32-exact in two DEFAULT passes.
+    exact=False: single bf16 pass (training bf16 mode)."""
+    if not exact:
+        return jnp.dot(mask, v.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(mask, hi, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+            + jnp.dot(mask, lo, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT))
+
+
+def _01dotT(mask, v, exact: bool):
+    """mask.T @ v (contract dim 0 of both) with the same 0/1 exactness."""
+    dn = (((0,), (0,)), ((), ()))
+    if not exact:
+        return jax.lax.dot_general(mask, v.astype(jnp.bfloat16), dn,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot_general(mask, hi, dn,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.DEFAULT)
+            + jax.lax.dot_general(mask, lo, dn,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.DEFAULT))
+
+
+def _composite_fwd(spec: NerfRaydSpec, rgb, seg, alpha, z, rd_raw, bg,
+                   noise, has_bg: bool, exact: bool, keep: bool = False):
+    """In-kernel compositing on one tile (G rays x S samples = TILE points).
+    rgb/seg/alpha: (TILE, 128) head blocks; z/noise: (G, S); rd_raw: (G, >=3)
+    raw ray dirs; bg: (G, 16) raw prior or None. Returns (rgb_map (G, 16),
+    weights (G, S)) [+ stash dict when keep]."""
+    S = spec.samples
+    tile = rgb.shape[0]
+    G = tile // S
+    f32 = jnp.float32
+
+    dz = jnp.concatenate([z[:, 1:] - z[:, :-1],
+                          jnp.full((G, 1), 1e10, f32)], axis=-1)
+    rdn = jnp.sqrt(jnp.sum(rd_raw[:, :3].astype(f32) ** 2, axis=-1,
+                           keepdims=True))
+    dists = dz * rdn                                       # (G, S)
+
+    expand = _ray_expand(tile, S, jnp.bfloat16)            # exact 0/1
+    sel = _sel_matrix(tile, S, f32)
+    dist_flat = jnp.sum(_01dot(expand, dists, exact) * sel, axis=-1,
+                        keepdims=True)                     # (TILE, 1)
+
+    sig_raw = alpha[:, :1].astype(f32)
+    if noise is not None:
+        sig_raw = sig_raw + jnp.sum(_01dot(expand, noise, exact) * sel,
+                                    axis=-1, keepdims=True)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    is_last = ((row % S) == S - 1).astype(f32)
+    sigma = jnp.maximum(sig_raw, 0.0) + 1e-6 * is_last
+    alpha_p = 1.0 - jnp.exp(-sigma * dist_flat)
+    logterm = jnp.log(1.0 - alpha_p + 1e-10)
+    M = _cum_matrix(tile, S, upper=False)
+    T = jnp.exp(_01dot(M, logterm, True))                  # always exact
+    w = alpha_p * T                                        # (TILE, 1)
+
+    rgb_sig = jax.nn.sigmoid(rgb[:, :3].astype(f32))       # (TILE, 3)
+    if has_bg:
+        sl = seg[:, :12].astype(f32)
+        mx = jnp.max(sl, axis=-1, keepdims=True)
+        e = jnp.exp(sl - mx)
+        ssm = e / jnp.sum(e, axis=-1, keepdims=True)
+        ch = jnp.concatenate(
+            [rgb_sig, ssm, jnp.zeros((tile, 1), f32)], axis=-1)
+        bg_flat = _01dot(expand, bg.astype(f32), exact)    # (TILE, 16)
+        ch = jnp.where(is_last > 0, bg_flat, ch)
+        ssm_s = ssm
+    else:
+        # reference no-prior path: sigmoid on ALL channels, no softmax,
+        # no last-row substitution (volume_rendering_utils.py:62)
+        seg_sig = jax.nn.sigmoid(seg[:, :12].astype(f32))
+        ch = jnp.concatenate(
+            [rgb_sig, seg_sig, jnp.zeros((tile, 1), f32)], axis=-1)
+        ssm_s = seg_sig
+
+    rgb_map = _01dotT(expand, w * ch, exact)               # (G, 16)
+    weights = _01dotT(expand, w * sel, exact)              # (G, S)
+    if not keep:
+        return rgb_map, weights
+    stash = dict(expand=expand, sel=sel, is_last=is_last, sigma=sigma,
+                 sig_raw=sig_raw, dist_flat=dist_flat, alpha_p=alpha_p,
+                 T=T, w=w, ch=ch, rgb_sig=rgb_sig, ssm=ssm_s)
+    return rgb_map, weights, stash
+
+
+def _composite_bwd(spec: NerfRaydSpec, st, g_rgb, g_w, has_bg: bool,
+                   exact: bool):
+    """Backward of _composite_fwd given per-ray cotangents g_rgb (G, 16),
+    g_w (G, S). Returns (grgb3 (TILE,3), gseg12 (TILE,12),
+    gsigraw (TILE,1), g_bg (G,16))."""
+    S = spec.samples
+    expand, sel = st["expand"], st["sel"]
+    w, T, alpha_p, ch = st["w"], st["T"], st["alpha_p"], st["ch"]
+    is_last = st["is_last"]
+    tile = w.shape[0]
+    f32 = jnp.float32
+
+    g_rgb_flat = _01dot(expand, g_rgb.astype(f32), exact)   # (TILE, 16)
+    g_w_flat = (jnp.sum(ch * g_rgb_flat, axis=-1, keepdims=True)
+                + jnp.sum(_01dot(expand, g_w.astype(f32), exact) * sel,
+                          axis=-1, keepdims=True))
+    g_ch = w * g_rgb_flat                                    # (TILE, 16)
+    g_bg = _01dotT(expand, is_last * g_ch, exact) if has_bg \
+        else jnp.zeros_like(g_rgb)
+
+    # alpha/T chain: w = a*T, T = exp(M @ log(1-a+eps))
+    g_T = g_w_flat * alpha_p
+    g_cum = T * g_T
+    Mu = _cum_matrix(tile, S, upper=True)                    # M^T
+    g_logterm = _01dot(Mu, g_cum, True)
+    g_alpha = g_w_flat * T - g_logterm / (1.0 - alpha_p + 1e-10)
+    g_sigma = g_alpha * jnp.exp(-st["sigma"] * st["dist_flat"]) \
+        * st["dist_flat"]
+    g_sigraw = g_sigma * (st["sig_raw"] > 0).astype(f32)
+
+    not_last = (1.0 - is_last) if has_bg else jnp.ones_like(is_last)
+    rgb_sig = st["rgb_sig"]
+    grgb3 = g_ch[:, :3] * rgb_sig * (1.0 - rgb_sig) * not_last
+    gs = g_ch[:, 3:15]
+    if has_bg:
+        ssm = st["ssm"]
+        gseg12 = ssm * (gs - jnp.sum(gs * ssm, axis=-1, keepdims=True)) \
+            * not_last
+    else:
+        seg_sig = st["ssm"]   # sigmoid activations in the no-prior path
+        gseg12 = gs * seg_sig * (1.0 - seg_sig)
+    return grgb3, gseg12, g_sigraw, g_bg
+
+
+def _level_io(spec, pts_raw, dirs_ray, se, z, bg, noise, pe_spec,
+              dir_pe_spec, tile):
+    """Shared input padding/flattening for the level kernels."""
+    P = pts_raw.shape[0]
+    S = spec.samples
+    assert tile % S == 0
+    Pp = _rup(P, tile)
+    Rp = Pp // S
+    R = dirs_ray.shape[0]
+    xw = pe_spec.in_width
+    dw = dir_pe_spec.in_width
+    xp = (pts_raw if pts_raw.shape[1] >= xw
+          else jnp.pad(pts_raw, ((0, 0), (0, xw - pts_raw.shape[1]))))
+    if Pp > P:
+        xp = jnp.pad(xp, ((0, Pp - P), (0, 0)))
+    dp = jnp.pad(dirs_ray, ((0, Rp - R), (0, dw - dirs_ray.shape[1])))
+    zp = jnp.pad(z, ((0, Rp - R), (0, 0))).astype(jnp.float32)
+    extras = []
+    if bg is not None:
+        extras.append(jnp.pad(bg, ((0, Rp - R), (0, 16 - bg.shape[1]))
+                              ).astype(jnp.float32))
+    if noise is not None:
+        extras.append(jnp.pad(noise, ((0, Rp - R), (0, 0))
+                              ).astype(jnp.float32))
+    se_in = []
+    if spec.se_dim:
+        se_in = [jnp.pad(se, ((0, Pp - P), (0, 0))).astype(
+            jnp.dtype(spec.compute_dtype))]
+    return P, Pp, Rp, xp, dp, zp, extras, se_in
+
+
+def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
+                       noise, params, pe_spec: PESpec,
+                       dir_pe_spec: PESpec):
+    """NeRF MLP + volume compositing fused: per-RAY outputs.
+    pts_raw (P, *) packed raw coords (P = R*S ray-major), dirs_ray (R, 3),
+    se (P, se_dim) | None, z (R, S) depth values, bg (R, 15) raw prior |
+    None, noise (R, S) sigma noise | None.
+    Returns (rgb_map (R, 16; cols 0:15 used), weights (R, S))."""
+    has_bg = bg is not None
+    has_noise = noise is not None
+    exact = jnp.dtype(spec.compute_dtype) == jnp.float32
+    S = spec.samples
+    G = TILE // S
+    P, Pp, Rp, xp, dp, zp, extras, se_in = _level_io(
+        spec, pts_raw, dirs_ray, se, z, bg, noise, pe_spec, dir_pe_spec, TILE)
+    R = dirs_ray.shape[0]
+    xw_blk = xp.shape[1]
+    xw = pe_spec.in_width
+    dw = dir_pe_spec.in_width
+    flat = _flatten_nerf_weights_rayd(spec, params)
+    n_flat = len(flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    dpe_in = _pe_input_arrays(dir_pe_spec)
+    n_pe, n_dpe = len(pe_in), len(dpe_in)
+    n_se = len(se_in)
+    n_ex = len(extras)
+    cdt = jnp.dtype(spec.compute_dtype)
+
+    def kernel(x_ref, d_ref, z_ref, *refs):
+        ex_refs = refs[:n_ex]
+        se_refs = refs[n_ex:n_ex + n_se]
+        w_refs = refs[n_ex + n_se:n_ex + n_se + n_flat]
+        pe_refs = refs[n_ex + n_se + n_flat:n_ex + n_se + n_flat + n_pe]
+        dpe_refs = refs[n_ex + n_se + n_flat + n_pe:
+                        n_ex + n_se + n_flat + n_pe + n_dpe]
+        o_rgb = refs[n_ex + n_se + n_flat + n_pe + n_dpe]
+        o_w = refs[n_ex + n_se + n_flat + n_pe + n_dpe + 1]
+        W = _rayd_unflatten(spec, [r[:] for r in w_refs])
+        x_raw = x_ref[:]
+        if xw_blk > xw:
+            x_raw = x_raw[:, :xw]
+        x_t = _pe_apply(x_raw, pe_refs).astype(cdt)
+        d_raw = d_ref[:]
+        dir_pe = _pe_apply(d_raw, dpe_refs).astype(cdt)
+        se_t = se_refs[0][:] if n_se else None
+        rgb, seg, alpha = _rayd_forward_math(spec, x_t, dir_pe, se_t, W)
+        i = 0
+        bg_t = None
+        if has_bg:
+            bg_t = ex_refs[i][:]
+            i += 1
+        noise_t = ex_refs[i][:] if has_noise else None
+        rgb_map, weights = _composite_fwd(spec, rgb, seg, alpha, z_ref[:],
+                                          d_raw, bg_t, noise_t, has_bg,
+                                          exact)
+        o_rgb[:] = rgb_map.astype(o_rgb.dtype)
+        o_w[:] = weights.astype(o_w.dtype)
+
+    ex_specs = []
+    if has_bg:
+        ex_specs.append(pl.BlockSpec((G, 16), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_noise:
+        ex_specs.append(pl.BlockSpec((G, S), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    se_specs = ([pl.BlockSpec((TILE, spec.se_dim), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] if n_se else [])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Pp // TILE,),
+        in_specs=[pl.BlockSpec((TILE, xw_blk), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, dw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + ex_specs + se_specs
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec) + _pe_block_specs(dir_pe_spec),
+        out_specs=[pl.BlockSpec((G, 16), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((G, S), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Rp, 16), jnp.float32),
+                   jax.ShapeDtypeStruct((Rp, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, dp, zp, *extras, *se_in, *flat, *pe_in, *dpe_in)
+    return outs[0][:R], outs[1][:R]
+
+
+def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
+                   params, g_rgb, g_w, pe_spec: PESpec,
+                   dir_pe_spec: PESpec):
+    """Backward of nerf_level_forward: per-ray cotangents g_rgb (R, 16)
+    and g_w (R, S) -> (gx, gse | None, g_bg | None, grads pytree)."""
+    has_bg = bg is not None
+    has_noise = noise is not None
+    exact = jnp.dtype(spec.compute_dtype) == jnp.float32
+    S = spec.samples
+    G = BWD_TILE // S
+    P, Pp, Rp, xp, dp, zp, extras, se_in = _level_io(
+        spec, pts_raw, dirs_ray, se, z, bg, noise, pe_spec, dir_pe_spec,
+        BWD_TILE)
+    R = dirs_ray.shape[0]
+    raw_in = pts_raw.shape[1]
+    xw = pe_spec.in_width
+    dw = dir_pe_spec.in_width
+    xw_blk = xp.shape[1]
+    gx_width = raw_in if raw_in >= xw else xw
+    grp = jnp.pad(g_rgb, ((0, Rp - R), (0, 16 - g_rgb.shape[1]))
+                  ).astype(jnp.float32)
+    gwp = jnp.pad(g_w, ((0, Rp - R), (0, 0))).astype(jnp.float32)
+    flat = _flatten_nerf_weights_rayd(spec, params)
+    n_flat = len(flat)
+    pe_in = _pe_input_arrays(pe_spec)
+    dpe_in = _pe_input_arrays(dir_pe_spec)
+    n_pe, n_dpe = len(pe_in), len(dpe_in)
+    n_se = len(se_in)
+    n_ex = len(extras)
+    n_grid = Pp // BWD_TILE
+    cdt = jnp.dtype(spec.compute_dtype)
+    leakyd = _dact_from_out("leaky")
+
+    def kernel(x_ref, d_ref, z_ref, grgb_ref, gw_ref, *refs):
+        ex_refs = refs[:n_ex]
+        se_refs = refs[n_ex:n_ex + n_se]
+        w_refs = refs[n_ex + n_se:n_ex + n_se + n_flat]
+        pe_refs = refs[n_ex + n_se + n_flat:n_ex + n_se + n_flat + n_pe]
+        dpe_refs = refs[n_ex + n_se + n_flat + n_pe:
+                        n_ex + n_se + n_flat + n_pe + n_dpe]
+        o_at = n_ex + n_se + n_flat + n_pe + n_dpe
+        gx_ref = refs[o_at]
+        nxt = o_at + 1
+        gse_ref = None
+        if n_se:
+            gse_ref = refs[nxt]
+            nxt += 1
+        gbg_ref = None
+        if has_bg:
+            gbg_ref = refs[nxt]
+            nxt += 1
+        dw_refs = refs[nxt:]
+
+        W = _rayd_unflatten(spec, [r[:] for r in w_refs])
+        x_raw = x_ref[:]
+        if xw_blk > xw:
+            x_raw = x_raw[:, :xw]
+        x_t = _pe_apply(x_raw, pe_refs)
+        d_raw = d_ref[:]
+        dir_pe = _pe_apply(d_raw, dpe_refs).astype(cdt)
+        se_t = se_refs[0][:] if n_se else None
+        rgb, seg, alpha, acts = _rayd_forward_math(spec, x_t, dir_pe, se_t,
+                                                   W, keep=True)
+        i = 0
+        bg_t = None
+        if has_bg:
+            bg_t = ex_refs[i][:]
+            i += 1
+        noise_t = ex_refs[i][:] if has_noise else None
+        _, _, st = _composite_fwd(spec, rgb, seg, alpha, z_ref[:], d_raw,
+                                  bg_t, noise_t, has_bg, exact, keep=True)
+        grgb3, gseg12, g_sigraw, g_bg = _composite_bwd(
+            spec, st, grgb_ref[:], gw_ref[:], has_bg, exact)
+        if has_bg:
+            gbg_ref[:] = g_bg.astype(gbg_ref.dtype)
+
+        tile = grgb3.shape[0]
+        grgb = jnp.concatenate(
+            [grgb3, jnp.zeros((tile, 125), jnp.float32)], axis=-1)
+        gseg = jnp.concatenate(
+            [gseg12, jnp.zeros((tile, 116), jnp.float32)], axis=-1)
+        galpha = jnp.concatenate(
+            [g_sigraw, jnp.zeros((tile, 127), jnp.float32)], axis=-1)
+
+        feat = acts["feat"]
+        dacts = acts["dacts"]
+        sacts = acts["sacts"]
+
+        # seg head
+        dwseg = _mmT(sacts[3], gseg, cdt)
+        dbseg = jnp.sum(gseg, axis=0, keepdims=True)
+        gs = _mm(gseg, W["wseg"].T, cdt)
+        seg_grads = []
+        for k in range(3, 0, -1):
+            gz = gs * leakyd(sacts[k])
+            wsk, _ = W["seg_rest"][k - 1]
+            seg_grads.append((_mmT(sacts[k - 1], gz, cdt),
+                              jnp.sum(gz, axis=0, keepdims=True)))
+            gs = _mm(gz, wsk.T, cdt)
+        gz0 = gs * leakyd(sacts[0])
+        dws0 = _mmT(feat, gz0, cdt)
+        dbs0 = jnp.sum(gz0, axis=0, keepdims=True)
+        gfeat = _mm(gz0, W["ws0"].T, cdt)
+
+        # dir head
+        dwrgb = _mmT(dacts[3], grgb, cdt)
+        dbrgb = jnp.sum(grgb, axis=0, keepdims=True)
+        gd = _mm(grgb, W["wrgb"].T, cdt)
+        dir_grads = []
+        for k in range(3, 0, -1):
+            gz = gd * leakyd(dacts[k])
+            wd, _ = W["dir_rest"][k - 1]
+            dir_grads.append((_mmT(dacts[k - 1], gz, cdt),
+                              jnp.sum(gz, axis=0, keepdims=True)))
+            gd = _mm(gz, wd.T, cdt)
+        gzd0 = gd * leakyd(dacts[0])
+        dwd0f = _mmT(feat, gzd0, cdt)
+        gsum = _mmT(acts["expand"], gzd0, cdt)
+        dwd0d = _mmT(dir_pe, gsum, cdt)
+        dbd0 = jnp.sum(gzd0, axis=0, keepdims=True)
+        gfeat = gfeat + _mm(gzd0, W["wd0f"].T, cdt)
+        if n_se:
+            dwd0s = _mmT(se_t, gzd0, cdt)
+            gse_ref[:] = _mm(gzd0, W["wd0s"].T, cdt).astype(gse_ref.dtype)
+
+        # alpha head
+        dwa = _mmT(feat, galpha, cdt)
+        dba = jnp.sum(galpha, axis=0, keepdims=True)
+        gfeat = gfeat + _mm(galpha, W["wa"].T, cdt)
+
+        # feat (linear)
+        h_last = acts["trunk"][-1]
+        dwf = _mmT(h_last, gfeat, cdt)
+        dbf = jnp.sum(gfeat, axis=0, keepdims=True)
+        gh = _mm(gfeat, W["wf"].T, cdt)
+
+        tspec = TrunkSpec(spec.num_layers, spec.skip_every, spec.in_dim,
+                          spec.hidden, 0, act="leaky",
+                          compute_dtype=spec.compute_dtype)
+        gx, dws, dbs = _trunk_backward(tspec, x_t, W["ws"], W["bs"],
+                                       acts["trunk"], gh)
+        gx = _pe_bwd(x_raw, gx, pe_refs)
+        if gx_width > gx.shape[1]:
+            gx = jnp.concatenate(
+                [gx, jnp.zeros((gx.shape[0], gx_width - gx.shape[1]),
+                               gx.dtype)], axis=-1)
+        gx_ref[:] = gx.astype(gx_ref.dtype)
+
+        grads = []
+        for li in range(spec.num_layers):
+            if li == spec.skip_every and li > 0:
+                grads.extend([dws[li][0], dws[li][1]])
+            else:
+                grads.append(dws[li])
+            grads.append(dbs[li])
+        grads.extend([dwf, dbf, dwa, dba, dwd0f, dwd0d])
+        if n_se:
+            grads.append(dwd0s)
+        grads.append(dbd0)
+        for dw_, db_ in reversed(dir_grads):
+            grads.extend([dw_, db_])
+        grads.extend([dwrgb, dbrgb, dws0, dbs0])
+        for dw_, db_ in reversed(seg_grads):
+            grads.extend([dw_, db_])
+        grads.extend([dwseg, dbseg])
+        _accumulate(dw_refs, grads, pl.program_id(0) == 0)
+
+    ex_specs = []
+    if has_bg:
+        ex_specs.append(pl.BlockSpec((G, 16), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    if has_noise:
+        ex_specs.append(pl.BlockSpec((G, S), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    se_specs = ([pl.BlockSpec((BWD_TILE, spec.se_dim), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] if n_se else [])
+    out_shapes = [jax.ShapeDtypeStruct((Pp, gx_width), pts_raw.dtype)]
+    out_specs = [pl.BlockSpec((BWD_TILE, gx_width), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    if n_se:
+        out_shapes.append(jax.ShapeDtypeStruct((Pp, spec.se_dim),
+                                               pts_raw.dtype))
+        out_specs.append(pl.BlockSpec((BWD_TILE, spec.se_dim),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    if has_bg:
+        out_shapes.append(jax.ShapeDtypeStruct((Rp, 16), jnp.float32))
+        out_specs.append(pl.BlockSpec((G, 16), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    out_shapes += [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat]
+    out_specs += [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                               memory_space=pltpu.VMEM) for f in flat]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((BWD_TILE, xw_blk), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, dw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + ex_specs + se_specs
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat]
+                 + _pe_block_specs(pe_spec) + _pe_block_specs(dir_pe_spec),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xp, dp, zp, grp, gwp, *extras, *se_in, *flat, *pe_in, *dpe_in)
+
+    gx = outs[0][:P, :raw_in]
+    k = 1
+    gse = None
+    if n_se:
+        gse = outs[k][:P].astype(pts_raw.dtype)
+        k += 1
+    g_bg = None
+    if has_bg:
+        g_bg = outs[k][:R, :bg.shape[1]]
+        k += 1
+    flat_grads = list(outs[k:])
+
+    it = iter(flat_grads)
+    grads_tree = {"trunk": [], "dir": [], "seg": []}
+    for li, p in enumerate(params["trunk"]):
+        w = p["w"]
+        if li == 0:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        elif li == spec.skip_every:
+            hid = w.shape[1]
+            dwh = next(it)
+            dwx = next(it)
+            dw = jnp.concatenate([dwh[:hid, :hid],
+                                  dwx[:w.shape[0] - hid, :hid]], axis=0)
+        else:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        grads_tree["trunk"].append({"w": dw, "b": db})
+
+    def head(p):
+        dw = next(it)[:p["w"].shape[0], :p["w"].shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        return {"w": dw, "b": db}
+
+    grads_tree["fc_feat"] = head(params["fc_feat"])
+    grads_tree["fc_alpha"] = head(params["fc_alpha"])
+    d0 = params["dir"][0]
+    hid = params["fc_feat"]["w"].shape[1]
+    B_real = d0["w"].shape[1]
+    dwd0f = next(it)[:hid, :B_real]
+    dwd0d = next(it)[:spec.dir_raw, :B_real]
+    parts = [dwd0f, dwd0d]
+    if spec.se_dim:
+        parts.append(next(it)[:spec.se_dim, :B_real])
+    dw0 = jnp.concatenate(parts, axis=0)
+    db0 = next(it)[0, :d0["b"].shape[0]]
+    grads_tree["dir"].append({"w": dw0, "b": db0})
+    for p in params["dir"][1:]:
+        grads_tree["dir"].append(head(p))
+    grads_tree["fc_rgb"] = head(params["fc_rgb"])
+    for p in params["seg"]:
+        grads_tree["seg"].append(head(p))
+    grads_tree["fc_seg"] = head(params["fc_seg"])
+    return gx, gse, g_bg, grads_tree
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _nerf_level_fused(num_layers, skip_every, pe_dim, se_dim, samples,
+                      compute_dtype, pe_spec, dir_pe_spec,
+                      params, pts_raw, dirs_ray, se, z, bg, noise, cond):
+    spec, hidden = _rayd_spec_of(num_layers, skip_every, pe_dim,
+                                 dir_pe_spec.raw_out, se_dim, samples,
+                                 compute_dtype, params)
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    p2 = dict(params)
+    p2["trunk"] = trunk
+    return nerf_level_forward(spec, pts_raw, dirs_ray, se, z, bg, noise, p2,
+                              pe_spec, dir_pe_spec)
+
+
+def _nerf_level_fwd(num_layers, skip_every, pe_dim, se_dim, samples,
+                    compute_dtype, pe_spec, dir_pe_spec,
+                    params, pts_raw, dirs_ray, se, z, bg, noise, cond):
+    y = _nerf_level_fused(num_layers, skip_every, pe_dim, se_dim, samples,
+                          compute_dtype, pe_spec, dir_pe_spec,
+                          params, pts_raw, dirs_ray, se, z, bg, noise, cond)
+    return y, (params, pts_raw, dirs_ray, se, z, bg, noise, cond)
+
+
+def _nerf_level_bwd(num_layers, skip_every, pe_dim, se_dim, samples,
+                    compute_dtype, pe_spec, dir_pe_spec, res, gs):
+    params, pts_raw, dirs_ray, se, z, bg, noise, cond = res
+    g_rgb, g_w = gs
+    spec, hidden = _rayd_spec_of(num_layers, skip_every, pe_dim,
+                                 dir_pe_spec.raw_out, se_dim, samples,
+                                 compute_dtype, params)
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    p2 = dict(params)
+    p2["trunk"] = trunk
+    gx, gse, g_bg, grads_folded = nerf_level_vjp(
+        spec, pts_raw, dirs_ray, se, z, bg, noise, p2, g_rgb, g_w,
+        pe_spec, dir_pe_spec)
+    trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
+                                            grads_folded["trunk"], cond,
+                                            skip_every, hidden, pe_dim)
+    grads = dict(grads_folded)
+    grads["trunk"] = trunk_grads
+    if gse is None and se is not None:
+        gse = jnp.zeros_like(se)
+    if g_bg is None and bg is not None:
+        g_bg = jnp.zeros_like(bg)
+    g_noise = jnp.zeros_like(noise) if noise is not None else None
+    return (grads, gx, jnp.zeros_like(dirs_ray), gse,
+            jnp.zeros_like(z), g_bg, g_noise, dcond)
+
+
+_nerf_level_fused.defvjp(_nerf_level_fwd, _nerf_level_bwd)
+
+
+def nerf_render_level(params, num_layers: int, skip_every: int,
+                      pts_raw: jnp.ndarray, dirs_ray: jnp.ndarray, se,
+                      samples: int, z: jnp.ndarray, bg, noise,
+                      cond: jnp.ndarray, compute_dtype: str = "bfloat16",
+                      pe_spec: PESpec = None, dir_pe_spec: PESpec = None):
+    """Fully-fused NeRF level: MLP + in-kernel volume compositing.
+    Returns (rgb_map (R, 16; [rgb3|seg12|pad]), weights (R, S)). z carries
+    no gradient (fine z is stop-gradiented by sample_pdf; coarse z is pure
+    RNG); dirs carry none (camera data)."""
+    pe_dim = pe_spec.raw_out
+    se_dim = se.shape[-1] if se is not None else 0
+    return _nerf_level_fused(num_layers, skip_every, pe_dim, se_dim, samples,
+                             compute_dtype, pe_spec, dir_pe_spec,
+                             params, pts_raw, dirs_ray,
+                             se if se_dim else None, z, bg, noise, cond)
 
 
 def nerf_mlp_forward_fused(spec: NerfKernelSpec, pts_embed: jnp.ndarray,
