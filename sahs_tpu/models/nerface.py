@@ -191,15 +191,31 @@ def query_template(params: Params, spec: ModelSpec, level: str,
                           spatial_embedding=spatial_embedding)
 
 
-def make_field_fn(params: Params, spec: ModelSpec,
-                  driving_or_audio: jnp.ndarray, pose: jnp.ndarray,
-                  latent_code=None, use_pallas: bool = False,
-                  compute_dtype: str = "bfloat16"):
-    """Build the field evaluator used by the render pipeline:
+def level_kernel_compatible(samples: int) -> bool:
+    """True when the fully-fused MLP+composite level kernel can tile this
+    sample count (point tiles must cover whole rays, fwd and bwd)."""
+    from ..ops.pallas.field_mlp import BWD_TILE, TILE
+    return bool(samples) and TILE % samples == 0 and BWD_TILE % samples == 0
+
+
+def make_render_fns(params: Params, spec: ModelSpec,
+                    driving_or_audio: jnp.ndarray, pose: jnp.ndarray,
+                    latent_code=None, use_pallas: bool = False,
+                    compute_dtype: str = "bfloat16"):
+    """Build the field evaluators used by the render pipeline. Returns
+    ``(field_fn, level_fn)``:
+
     field_fn(level, pts_flat (P,3), dirs_ray (R,3), samples) -> (P, 16),
     with P == R * samples and ray-major point order (dirs are per-RAY; the
     per-point broadcast happens inside the evaluator, or not at all on the
     Pallas path, whose NeRF kernel encodes directions once per ray).
+
+    level_fn(level, pts_flat, dirs_ray, samples, z (R,S), bg (R,15)|None,
+    noise (R,S)|None) -> (rgb_map (R,16), weights (R,S)) is the fully-fused
+    MLP + in-kernel volume-compositing path (reference semantics of
+    train_utils.py:135-136 + volume_rendering_utils.py:7-78 inside one
+    kernel); None when the Pallas path is off or kernel-incompatible. Call
+    it only when level_kernel_compatible(samples).
 
     use_pallas=True routes the MLPs through the fused Pallas kernels
     (ops/pallas/field_mlp.py): per-frame conditioning is folded into biases,
@@ -224,7 +240,7 @@ def make_field_fn(params: Params, spec: ModelSpec,
                 se = grid_sample_3d(params["spatial_embeddings"], mapped[..., :3])
             return query_template(params, spec, level, mapped, dirs_flat,
                                   driving, pose_enc, latent_code, se)
-        return field_fn
+        return field_fn, None
 
     from ..ops.encoding import encoded_dim
     from ..ops.pallas.field_mlp import (PESpec, _rup, deform_mlp_apply_fused,
@@ -285,8 +301,10 @@ def make_field_fn(params: Params, spec: ModelSpec,
         out_width=_rup(encoded_dim(3, spec.num_encoding_fn_dir,
                                    spec.include_input_dir)))
 
-    def deform_and_se(pts_flat):
-        """Shared front half: packed canonical points + spatial embedding."""
+    def front_half(pts_flat):
+        """Shared deformation front half: packed canonical points (kept as
+        the (P,128) kernel block when the pair kernel runs) + spatial
+        embedding sampled at the warped positions."""
         warped = pts_flat
         pts_raw = pts_flat
         if pair_ok:
@@ -327,18 +345,25 @@ def make_field_fn(params: Params, spec: ModelSpec,
         if spec.use_spatial_embeddings:
             se = grid_sample_3d(params["spatial_embeddings"], warped,
                                 compute_dtype=compute_dtype)
+        return pts_raw, se
+
+    def nerf_cond(level, dtype):
         nerf_spec: NeRFSpec = getattr(spec, level)
         cond_parts = []
         if nerf_spec.include_driving:
             cond_parts.append(driving)
         if nerf_spec.use_pose:
             cond_parts.append(pose_enc)
-        cond = (jnp.concatenate(cond_parts) if cond_parts
-                else jnp.zeros((0,), pts_flat.dtype))
+        return (jnp.concatenate(cond_parts) if cond_parts
+                else jnp.zeros((0,), dtype))
 
-        from ..ops.pallas.field_mlp import (BWD_TILE, TILE,
-                                            nerf_mlp_apply_rayd)
-        if samples and TILE % samples == 0 and BWD_TILE % samples == 0:
+    def field_fn(level, pts_flat, dirs_ray, samples):
+        pts_raw, se = front_half(pts_flat)
+        nerf_spec: NeRFSpec = getattr(spec, level)
+        cond = nerf_cond(level, pts_flat.dtype)
+
+        from ..ops.pallas.field_mlp import nerf_mlp_apply_rayd
+        if level_kernel_compatible(samples):
             # per-RAY direction PE (point tiles cover whole rays)
             return nerf_mlp_apply_rayd(
                 params[level], nerf_spec.num_layers,
@@ -361,7 +386,30 @@ def make_field_fn(params: Params, spec: ModelSpec,
             pts_raw, extra_raw, cond, compute_dtype=compute_dtype,
             pe_spec=pts_pe, extra_pe_spec=extra_pe)
 
-    return field_fn
+    def level_fn(level, pts_flat, dirs_ray, samples, z, bg, noise):
+        """Fully-fused level: deformation pair -> grid sample -> NeRF MLP
+        with in-kernel volume compositing (per-RAY outputs; no (P,128) raw
+        round-trip, no XLA (R,S,C) compositing chain)."""
+        from ..ops.pallas.field_mlp import nerf_render_level
+        pts_raw, se = front_half(pts_flat)
+        nerf_spec: NeRFSpec = getattr(spec, level)
+        return nerf_render_level(
+            params[level], nerf_spec.num_layers, nerf_spec.skip_connect_every,
+            pts_raw, dirs_ray, se, samples, z, bg, noise,
+            nerf_cond(level, pts_flat.dtype), compute_dtype=compute_dtype,
+            pe_spec=pts_pe, dir_pe_spec=dir_pe)
+
+    return field_fn, level_fn
+
+
+def make_field_fn(params: Params, spec: ModelSpec,
+                  driving_or_audio: jnp.ndarray, pose: jnp.ndarray,
+                  latent_code=None, use_pallas: bool = False,
+                  compute_dtype: str = "bfloat16"):
+    """Back-compat wrapper around make_render_fns: just the field_fn."""
+    return make_render_fns(params, spec, driving_or_audio, pose,
+                           latent_code=latent_code, use_pallas=use_pallas,
+                           compute_dtype=compute_dtype)[0]
 
 
 def apply_field(params: Params, spec: ModelSpec, level: str,

@@ -1942,8 +1942,13 @@ def _composite_fwd(spec: NerfRaydSpec, rgb, seg, alpha, z, rd_raw, bg,
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     is_last = ((row % S) == S - 1).astype(f32)
     sigma = jnp.maximum(sig_raw, 0.0) + 1e-6 * is_last
-    alpha_p = 1.0 - jnp.exp(-sigma * dist_flat)
-    logterm = jnp.log(1.0 - alpha_p + 1e-10)
+    # Keep the transmittance term t = exp(-sigma*dist) = 1 - alpha explicitly:
+    # reconstructing it as (1.0 - alpha_p + 1e-10) lets XLA reassociate the
+    # constants into (1.0 + 1e-10) - alpha_p == 0.0 at alpha_p == 1, whose
+    # log(-inf) NaN-poisons the cumprod matmul (0 * -inf).
+    t_term = jnp.exp(-sigma * dist_flat)
+    alpha_p = 1.0 - t_term
+    logterm = jnp.log(t_term + 1e-10)
     M = _cum_matrix(tile, S, upper=False)
     T = jnp.exp(_01dot(M, logterm, True))                  # always exact
     w = alpha_p * T                                        # (TILE, 1)
@@ -1973,7 +1978,7 @@ def _composite_fwd(spec: NerfRaydSpec, rgb, seg, alpha, z, rd_raw, bg,
         return rgb_map, weights
     stash = dict(expand=expand, sel=sel, is_last=is_last, sigma=sigma,
                  sig_raw=sig_raw, dist_flat=dist_flat, alpha_p=alpha_p,
-                 T=T, w=w, ch=ch, rgb_sig=rgb_sig, ssm=ssm_s)
+                 t_term=t_term, T=T, w=w, ch=ch, rgb_sig=rgb_sig, ssm=ssm_s)
     return rgb_map, weights, stash
 
 
@@ -2002,9 +2007,10 @@ def _composite_bwd(spec: NerfRaydSpec, st, g_rgb, g_w, has_bg: bool,
     g_cum = T * g_T
     Mu = _cum_matrix(tile, S, upper=True)                    # M^T
     g_logterm = _01dot(Mu, g_cum, True)
-    g_alpha = g_w_flat * T - g_logterm / (1.0 - alpha_p + 1e-10)
-    g_sigma = g_alpha * jnp.exp(-st["sigma"] * st["dist_flat"]) \
-        * st["dist_flat"]
+    # t_term = exp(-sigma*dist) = 1 - alpha, stashed (same reassociation
+    # hazard as in the forward: never recompute it as 1 - alpha + eps).
+    g_alpha = g_w_flat * T - g_logterm / (st["t_term"] + 1e-10)
+    g_sigma = g_alpha * st["t_term"] * st["dist_flat"]
     g_sigraw = g_sigma * (st["sig_raw"] > 0).astype(f32)
 
     not_last = (1.0 - is_last) if has_bg else jnp.ones_like(is_last)

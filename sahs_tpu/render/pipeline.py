@@ -44,6 +44,8 @@ class RenderSettings:
     use_pallas: bool = False      # fused Pallas field kernels (TPU fast path)
     compute_dtype: str = "bfloat16"
     use_ndc: bool = False         # cfg.dataset.no_ndc=False (train_utils:243)
+    fuse_composite: bool = True   # with use_pallas: volume-composite inside
+                                  # the NeRF kernel (per-ray outputs)
 
     @classmethod
     def from_mode_config(cls, mc: NerfModeConfig, use_pallas: bool = False,
@@ -113,16 +115,38 @@ def render_rays(
 
     # Shared per-frame conditioning, computed once (the reference recomputes
     # per chunk/level with identical results, models.py:514-521).
+    level_fn = None
     if field_fn is None:
-        field_fn = nerface.make_field_fn(
+        field_fn, level_fn = nerface.make_render_fns(
             params, spec, driving_or_audio, pose, latent_code=latent_code,
             use_pallas=settings.use_pallas,
             compute_dtype=settings.compute_dtype)
+    if not settings.fuse_composite:
+        level_fn = None
 
     def run_level(level, z_vals, noise_key):
         pts = ray_origins[:, None, :] + ray_directions[:, None, :] * z_vals[..., None]
         S = z_vals.shape[-1]
         pts_flat = pts.reshape(-1, 3)
+        if level_fn is not None and nerface.level_kernel_compatible(S):
+            # Fully-fused path: MLP + volume compositing in one kernel
+            # (per-ray outputs). disp/acc/depth are the same cheap (R,S)
+            # reductions the oracle computes (volume_rendering_utils.py:71-73).
+            noise = None
+            if settings.radiance_field_noise_std > 0:
+                noise = (jax.random.normal(noise_key, z_vals.shape,
+                                           dtype=z_vals.dtype)
+                         * settings.radiance_field_noise_std)
+            rgb_map, weights = level_fn(level, pts_flat, ray_directions, S,
+                                        z_vals, background_prior, noise)
+            rgb = rgb_map[:, :15]
+            depth = jnp.sum(weights * z_vals, axis=-1)
+            acc = jnp.sum(weights, axis=-1)
+            disp = 1.0 / jnp.maximum(1e-10, depth / acc)
+            if settings.white_background:
+                rgb = rgb + (1.0 - acc[..., None])
+            from ..ops.rendering import RenderOutputs
+            return RenderOutputs(rgb, disp, acc, weights, depth)
         raw = field_fn(level, pts_flat, ray_directions, S)
         raw = raw.reshape(num_rays, S, raw.shape[-1])
         if background_prior is not None:

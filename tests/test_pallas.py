@@ -162,6 +162,52 @@ def test_pipeline_pallas_path_matches_oracle(setup):
                                np.asarray(out_o.disp_fine), rtol=1e-3)
 
 
+def test_pipeline_pallas_grads_match_oracle(setup):
+    """Full render_rays gradients (params incl. audnet/warp/hyper/grid/nerf
+    and the background prior) with the fused MLP+composite level kernel vs
+    the oracle path. Loss touches rgb coarse+fine AND the fine weights so
+    the kernel's g_w cotangent path is exercised."""
+    from sahs_tpu.render.pipeline import RenderSettings, render_rays
+    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    R = 8
+    ro = np.zeros((R, 3), np.float32)
+    rd = (rng.randn(R, 3) * 0.05 + np.array([0, 0, -1.0])).astype(np.float32)
+    audio = rng.randn(16, 29).astype(np.float32)
+    Rm = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    pose = np.concatenate([Rm, np.array([[0], [0], [0.6]], np.float32)], 1)
+    bg = jnp.asarray(rng.rand(R, 15).astype(np.float32))
+    v_c = jnp.asarray(rng.randn(R, 15).astype(np.float32))
+    v_f = jnp.asarray(rng.randn(R, 15).astype(np.float32))
+    v_w = jnp.asarray(rng.randn(R).astype(np.float32))
+    base = dict(num_coarse=8, num_fine=8, perturb=False,
+                radiance_field_noise_std=0.0)
+    s_oracle = RenderSettings(**base, use_pallas=False)
+    s_pallas = RenderSettings(**base, use_pallas=True,
+                              compute_dtype="float32")
+
+    def loss(p, b, settings):
+        out = render_rays(p, spec, settings, jnp.asarray(ro),
+                          jnp.asarray(rd), 0.48, 1.08, jnp.asarray(audio),
+                          jnp.asarray(pose), background_prior=b)
+        return (jnp.vdot(out.rgb_coarse, v_c) + jnp.vdot(out.rgb_fine, v_f)
+                + jnp.vdot(out.weights[:, -1], v_w))
+
+    go, gbo = jax.grad(lambda p, b: loss(p, b, s_oracle),
+                       argnums=(0, 1))(params, bg)
+    gp, gbp = jax.grad(lambda p, b: loss(p, b, s_pallas),
+                       argnums=(0, 1))(params, bg)
+    paths = jax.tree_util.tree_leaves_with_path(go)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, a in paths:
+        b = flat_p[path]
+        scale = float(jnp.abs(a).max()) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a),
+            atol=5e-4 * max(scale, 1.0),
+            err_msg=jax.tree_util.keystr(path))
+    np.testing.assert_allclose(np.asarray(gbp), np.asarray(gbo), atol=5e-4)
+
+
 def test_deform_pair_matches_separate_kernels(setup):
     """Merged warp+hyper kernel == the two single-net fused kernels,
     fwd and grads (params, points, conditioning)."""
