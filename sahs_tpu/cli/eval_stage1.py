@@ -29,6 +29,10 @@ def load_any_checkpoint(path: str, spec):
         params = ckpt_lib.unflatten_params(entries)
         extras = {k: jnp.asarray(v) for k, v in entries.items()
                   if "|" not in k}
+        # trained-alongside param groups (train/stage1.py TrainState.params)
+        for k in ("background", "latent_codes"):
+            if k in params and k not in extras:
+                extras[k] = jnp.asarray(params[k])
         extras.update(schema.get("scalars", {}))
         return params["model"], extras
     imported = ckpt_lib.import_torch_checkpoint(path, spec)
@@ -46,6 +50,9 @@ def main(argv=None):
     ap.add_argument("--no-normals", action="store_true")
     ap.add_argument("--deterministic", action="store_true",
                     help="perturb=False, noise=0 (parity mode)")
+    ap.add_argument("--frontalize", action="store_true",
+                    help="render every frame from frame 0's pose "
+                         "(reference eval_stage_rays.py:376,415-416)")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--limit", type=int, default=1500)
     args = ap.parse_args(argv)
@@ -60,6 +67,17 @@ def main(argv=None):
         bg = val_data.background()
         background = jnp.asarray(bg) if bg is not None else None
 
+    # Latent codes restored from the checkpoint are threaded into every
+    # render via the dataset's index map (reference
+    # eval_stage_rays.py:316-323,450-452).
+    latent_codes = extras.get("latent_codes")
+    index_map = None
+    if latent_codes is not None:
+        map_path = os.path.join(str(cfg.dataset.basedir), "index_map.npy")
+        if os.path.exists(map_path):
+            import numpy as np
+            index_map = np.load(map_path)
+
     os.makedirs(args.savedir, exist_ok=True)
     evaluate_dataset(cfg, spec, model_params, val_data, args.savedir,
                      background=background,
@@ -68,7 +86,10 @@ def main(argv=None):
                      save_mesh=args.save_mesh,
                      save_normals=not args.no_normals,
                      limit=args.limit,
-                     deterministic=args.deterministic)
+                     deterministic=args.deterministic,
+                     latent_codes=latent_codes,
+                     latent_index_map=index_map,
+                     frontalize=args.frontalize or None)
 
 
 if __name__ == "__main__":

@@ -211,6 +211,10 @@ class RuntimeConfig:
     use_pallas: bool = True
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     donate_state: bool = True
+    # Eval-time pose override: render every frame from the FIRST frame's
+    # camera pose (the reference's hardcoded `frontalize` flag,
+    # eval_stage_rays.py:376,415-416).
+    frontalize: bool = False
     # frames per in-training validation pass; 0 = the FULL val set (the
     # reference validates over the whole set, train_stage_rays_auto.py:577)
     validate_frames: int = 0

@@ -79,6 +79,35 @@ def save_point_cloud(pts: np.ndarray, path: str) -> None:
         fp.write("\n".join(f"v {p[0]} {p[1]} {p[2]}" for p in pts))
 
 
+def dump_rays(points: np.ndarray, radiance_field: np.ndarray,
+              path: str = "rays_small.ply", threshold: float = 0.9999996,
+              stride: int = 100) -> int:
+    """Train-side debug dump of high-density sample points as a colored
+    ascii .ply (reference nerf_helpers.py:499-543 `dump_rays`): selection is
+    sigmoid(relu(sigma)) > threshold over the raw field, then the reference's
+    subsample (first total//10 indices, every ``stride``-th written).
+    points (R, S, 3); radiance_field (R, S, C>=4) with sigma at channel 3.
+    Returns the number of vertices written."""
+    points = np.asarray(points, np.float32)
+    rf = np.asarray(radiance_field, np.float32)
+    sig = 1.0 / (1.0 + np.exp(-np.maximum(rf[..., 3], 0.0)))
+    ray_idx, depth_idx = np.where(sig > threshold)
+    total = int(ray_idx.shape[0] // 10)
+    keep = np.arange(0, total, stride)
+    ray_idx, depth_idx = ray_idx[keep], depth_idx[keep]
+    xyz = points[ray_idx, depth_idx]
+    rgb = np.clip(rf[ray_idx, depth_idx, :3] * 255, 0, 255).astype(np.int32)
+    with open(path, "w") as fid:
+        fid.write("ply\nformat ascii 1.0\n"
+                  f"element vertex {len(keep)}\n"
+                  "property float x\nproperty float y\nproperty float z\n"
+                  "property uchar red\nproperty uchar green\n"
+                  "property uchar blue\nend_header\n")
+        for p, c in zip(xyz, rgb):
+            fid.write(f"{p[0]:f} {p[1]:f} {p[2]:f} {c[0]}  {c[1]} {c[2]}\n")
+    return len(keep)
+
+
 def cast_to_image(img: np.ndarray) -> np.ndarray:
     return (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
 
@@ -123,15 +152,43 @@ def make_eval_renderer(spec: ModelSpec, settings: RenderSettings,
     return jax.jit(_render)
 
 
+def select_eval_latent_code(latent_codes, index_map=None,
+                            fixed_row: int = 10):
+    """Reference latent-code-at-eval semantics (eval_stage_rays.py:316-323,
+    443-452): the checkpoint's per-train-frame latent codes are indexed
+    through the dataset's ``index_map.npy`` at the HARDCODED row 10
+    ("USE THIS if not ablating!") — ONE fixed code is used for every eval
+    frame. Without an index map we fall back to code 0."""
+    if latent_codes is None:
+        return None
+    codes = np.asarray(latent_codes)
+    idx = 0
+    if index_map is not None:
+        index_map = np.asarray(index_map).astype(int)
+        row = min(fixed_row, index_map.shape[0] - 1)
+        mapped = int(index_map[row, 1])
+        if 0 <= mapped < codes.shape[0]:
+            idx = mapped
+    return jnp.asarray(codes[idx])
+
+
 def evaluate_dataset(cfg: Config, spec: ModelSpec, model_params, dataset,
                      savedir: str, background=None,
                      save_disparity: bool = False, save_error: bool = False,
                      save_normals: bool = True, save_mesh: bool = False,
                      limit: int = 1500, seed: int = 0,
-                     deterministic: bool = False):
+                     deterministic: bool = False,
+                     latent_codes=None, latent_index_map=None,
+                     frontalize: Optional[bool] = None):
     """Reference eval loop parity (eval_stage_rays.py:355-556): renders every
     frame, saves rgb / colorized seg / normals (+ optional disparity, error,
-    point cloud), prints running avg time per image."""
+    point cloud), prints running avg time per image.
+
+    latent_codes: checkpoint-restored (num_train_frames, D) codes; a single
+    fixed code is selected via ``select_eval_latent_code`` and fed to every
+    render (eval_stage_rays.py:450-452). frontalize (default
+    cfg.runtime.frontalize): render every frame from frame 0's pose
+    (eval_stage_rays.py:415-416)."""
     import imageio.v2 as imageio
 
     settings = RenderSettings.from_config(cfg, "validation")
@@ -148,20 +205,29 @@ def evaluate_dataset(cfg: Config, spec: ModelSpec, model_params, dataset,
         os.makedirs(os.path.join(savedir, sub), exist_ok=True)
 
     H, W = dataset.H, dataset.W
+    latent_code = select_eval_latent_code(latent_codes, latent_index_map)
     renderer = make_eval_renderer(spec, settings, H, W,
-                                  float(cfg.dataset.near), float(cfg.dataset.far))
+                                  float(cfg.dataset.near),
+                                  float(cfg.dataset.far),
+                                  with_latent=latent_code is not None)
+    if frontalize is None:
+        frontalize = bool(getattr(cfg.runtime, "frontalize", False))
     key = jax.random.PRNGKey(seed)
     bg = jnp.asarray(background) if background is not None else None
     times = []
     is_expression = cfg.dataset.type.lower() == "expression"
     n = min(len(dataset), limit)
+    frontal_pose = jnp.asarray(dataset[0]["pose"]) if frontalize else None
     for i in range(n):
         item = dataset[i]
         t0 = time.time()
         key, sub_key = jax.random.split(key)
-        out = renderer(model_params, jnp.asarray(item["intrinsics"]),
-                       jnp.asarray(item["pose"]), jnp.asarray(item["driving"]),
-                       bg, sub_key)
+        pose = frontal_pose if frontalize else jnp.asarray(item["pose"])
+        args = (model_params, jnp.asarray(item["intrinsics"]), pose,
+                jnp.asarray(item["driving"]), bg, sub_key)
+        if latent_code is not None:
+            args = args + (latent_code,)
+        out = renderer(*args)
         rgb = np.asarray(out["rgb_fine"] if out["rgb_fine"] is not None
                          else out["rgb_coarse"])
         disp = np.asarray(out["disp_fine"] if out["disp_fine"] is not None

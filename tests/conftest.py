@@ -27,3 +27,6 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end tests (CLI drives, "
         "reference golden parity)")
+    config.addinivalue_line(
+        "markers", "smoke: <60s commit gate (field evaluators both modes, "
+        "fused level path, multichip dryrun) — run via tools/smoke.sh")

@@ -2,6 +2,7 @@
 sharded train step must agree with the single-device step, and the graft
 dryrun path must compile + run."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -70,6 +71,7 @@ def test_sharded_step_matches_single_device():
                                np.asarray(s2.sample_prob), rtol=2e-4)
 
 
+@pytest.mark.smoke
 def test_graft_dryrun_multichip():
     import importlib.util
     import os
@@ -81,6 +83,7 @@ def test_graft_dryrun_multichip():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.smoke
 def test_graft_entry_compiles():
     import importlib.util
     import os
