@@ -33,7 +33,7 @@ def main():
     from sahs_tpu.data.synthetic import SyntheticFaceDataset
     from sahs_tpu.models.nerface import ModelSpec
     from sahs_tpu.train.stage1 import (TrainSettings, init_train_state,
-                                       make_train_step)
+                                       make_multi_train_step, stack_batches)
 
     import os
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -43,38 +43,40 @@ def main():
     spec = ModelSpec.from_config(cfg)
     ts = TrainSettings.from_config(cfg)
 
-    ds = SyntheticFaceDataset(kind="audio", num_frames=4, H=512, W=512,
+    ds = SyntheticFaceDataset(kind="audio", num_frames=8, H=512, W=512,
                               near=cfg.dataset.near, far=cfg.dataset.far)
     background = jnp.asarray(ds.background())
-    batches = []
-    for i in range(len(ds)):
-        item = ds[i]
-        b = {k: jnp.asarray(v) for k, v in item.items() if k != "fname"}
-        b["background"] = background
-        batches.append(b)
+    items = [ds[i] for i in range(len(ds))]
+
+    # K steps fused per launch via lax.scan — the trainer's own driver loop
+    # (cli/train_stage1.py --steps-per-launch); amortizes the tunneled
+    # backend's per-dispatch latency exactly as production training does.
+    K = int(os.environ.get("SAHS_BENCH_K", "8"))
+    batches = stack_batches((items * K)[:K], background=background)
 
     key = jax.random.PRNGKey(0)
     state = init_train_state(key, spec, ts)
-    step_fn = make_train_step(spec, ts, donate=True)
+    step_fn = make_multi_train_step(spec, ts, donate=True)
 
     # Warmup / compile. NOTE: on the tunneled axon backend,
     # block_until_ready returns before execution completes — a host fetch
     # (float()) is the only reliable completion barrier, and it carries a
     # fixed RPC round-trip latency which we measure and subtract.
     key, k = jax.random.split(key)
-    state, metrics = step_fn(state, batches[0], k)
-    _ = float(metrics["loss"])
+    state, metrics = step_fn(state, batches, k)
+    _ = float(metrics["loss"][-1])
 
     t0 = time.time()
-    _ = float(metrics["loss"])
+    _ = float(metrics["loss"][-1])
     rtt = time.time() - t0
 
-    iters = 100
+    launches = max(1, 96 // K)
+    iters = launches * K
     t0 = time.time()
-    for i in range(iters):
+    for i in range(launches):
         key, k = jax.random.split(key)
-        state, metrics = step_fn(state, batches[i % len(batches)], k)
-    _ = float(metrics["loss"])  # forces the whole donated-state chain
+        state, metrics = step_fn(state, batches, k)
+    _ = float(metrics["loss"][-1])  # forces the whole donated-state chain
     dt = max(time.time() - t0 - rtt, 1e-9)
 
     rays_per_s = ts.num_random_rays * iters / dt

@@ -209,6 +209,9 @@ class RuntimeConfig:
     background_loss_weight: float = 0.001
     # TPU execution knobs (new)
     use_pallas: bool = True
+    # with use_pallas: volume-composite inside the NeRF kernel (per-ray
+    # outputs; kills the XLA (R,S,C) compositing chain)
+    fuse_composite: bool = True
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     donate_state: bool = True
     # Eval-time pose override: render every frame from the FIRST frame's

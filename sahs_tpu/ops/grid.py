@@ -236,6 +236,21 @@ def _grid_sample_bwd(compute_dtype, res, g):
     mdt = jnp.bfloat16 if compute_dtype == "bfloat16" else grid.dtype
     C, D, H, W = grid.shape
 
+    from .pallas.grid_bwd import grid_bwd_fused, grid_bwd_kernel_ok
+    cf_all = coords.reshape(-1, coords.shape[-1])
+    if grid_bwd_kernel_ok(grid.shape, cf_all.shape[0]):
+        # Fused Pallas backward: dG accumulation + analytic dCoords in one
+        # pass over the points (the rank-1 expansion matrices and the
+        # per-point (P,1) chains never touch HBM).
+        gf_all = g.reshape(-1, C)
+        dg, dc = grid_bwd_fused(grid.shape, cf_all, gf_all, vals,
+                                compute_dtype=compute_dtype)
+        W_in = coords.shape[-1]
+        if W_in > 3:
+            dc = jnp.pad(dc, ((0, 0), (0, W_in - 3)))
+        dcoords = dc.reshape(coords.shape).astype(coords.dtype)
+        return dg.astype(grid.dtype), dcoords
+
     dg = _grid_cotangent(grid.shape, coords, g, mdt).astype(grid.dtype)
 
     # dCoords: analytic from the stashed packed corner rows.

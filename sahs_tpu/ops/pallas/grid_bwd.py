@@ -1,0 +1,156 @@
+"""Fused Pallas backward kernel for the trilinear 3-D grid sample.
+
+Replaces the XLA backward of ops/grid.py (reference semantics:
+torch F.grid_sample(..., align_corners=True, padding_mode='zeros') on the
+(C, D, H, W) spatial-embedding grid, reference models.py:346-365) for the
+production 32^3 x 32ch grid:
+
+  - dGrid: the scatter-free factorized contraction
+    dG[(z,y),(x,c)] = sum_p (Az (x) Ay)[p,zy] (Ax (x) g)[p,xc]
+    with BOTH rank-1 expansions built IN VMEM from the raw coords and the
+    (TILE, DH)/(TILE, WC) blocks consumed by the MXU straight from VMEM —
+    the two (P, 1024) expansion matrices never exist in HBM (the XLA
+    version materializes ~1 GB of them per fine level).
+  - dCoords: the analytic corner-difference form from the stashed packed
+    corner rows (one VPU pass; the XLA version chains ~24 lane-padded
+    (P,1) ops = ~3 GB of HBM traffic).
+
+Both cotangents come out of ONE kernel pass over the points.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .field_mlp import _interpret, _rup
+
+
+def _axis_weight_tile(c, n, f32):
+    """(T, 1) coords in [-1,1] -> (A (T, n), i0 (T, 1), f (T, 1), band).
+    A[p, k] = (k == i0) (1-f) + (k == i0+1) f  — per-corner zeros padding
+    (grid.py:_axis_weights)."""
+    i = (c.astype(f32) + 1.0) * 0.5 * (n - 1)
+    i0 = jnp.floor(i)
+    f = i - i0
+    idx = jax.lax.broadcasted_iota(f32, (c.shape[0], n), 1)
+    A = (jnp.where(idx == i0, 1.0 - f, 0.0)
+         + jnp.where(idx == i0 + 1, f, 0.0))
+    band = (i0 >= -1) & (i0 <= n - 1)
+    return A, f, band
+
+
+def _expand_cols(col_mat, rhs, n_cols):
+    """rows (T, n_cols) x rhs (T, m) -> (T, n_cols*m) with
+    out[:, k*m:(k+1)*m] = col_mat[:, k:k+1] * rhs  (rank-1 row expansion)."""
+    pieces = [col_mat[:, k:k + 1] * rhs for k in range(n_cols)]
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def grid_bwd_kernel_ok(grid_shape, n_points: int) -> bool:
+    """The fused kernel targets the production spatial-embedding grid
+    (fields.py: 32ch x 32^3); other shapes use the XLA fallback."""
+    C, D, H, W = grid_shape
+    return (C, D, H, W) == (32, 32, 32, 32) and n_points >= 8
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "compute_dtype"))
+def grid_bwd_fused(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
+                   vals: jnp.ndarray, compute_dtype: str = "float32"):
+    """coords (P, >=3) raw [-1,1] xyz (extra lanes ignored), g (P, C)
+    cotangent of the sampled features, vals (P, 8C) stashed packed corner
+    rows -> (dG (C, D, H, W) f32, dcoords (P, 3) f32)."""
+    C, D, H, W = grid_shape
+    P = coords.shape[0]
+    f32 = jnp.float32
+    bf16_mm = compute_dtype == "bfloat16"
+    tile = 1024 if bf16_mm else 512
+
+    Pp = _rup(P, tile)
+    cw = 8
+    cp = coords[:, :3].astype(f32)
+    cp = jnp.pad(cp, ((0, Pp - P), (0, cw - 3)))
+    gp = jnp.pad(g.astype(f32), ((0, Pp - P), (0, 0)))
+    vp = jnp.pad(vals, ((0, Pp - P), (0, 0))).astype(f32)
+
+    DH, WC = D * H, W * C
+    n_tiles = Pp // tile
+
+    def kernel(c_ref, g_ref, v_ref, dg_ref, dc_ref):
+        i = pl.program_id(0)
+        cx = c_ref[:, 0:1]
+        cy = c_ref[:, 1:2]
+        cz = c_ref[:, 2:3]
+        Ax, fx, bx = _axis_weight_tile(cx, W, f32)
+        Ay, fy, by = _axis_weight_tile(cy, H, f32)
+        Az, fz, bz = _axis_weight_tile(cz, D, f32)
+        gt = g_ref[:]
+
+        # ---- dG: acc[(z,y),(x,c)] += t1^T @ t2 --------------------------
+        t1 = _expand_cols(Az, Ay, D)            # (T, DH)
+        t2 = _expand_cols(Ax, gt, W)            # (T, WC)
+        if bf16_mm:
+            t1 = t1.astype(jnp.bfloat16)
+            t2 = t2.astype(jnp.bfloat16)
+        contrib = jax.lax.dot_general(
+            t1, t2, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=(jax.lax.Precision.DEFAULT if bf16_mm
+                       else jax.lax.Precision.HIGHEST))
+
+        @pl.when(i == 0)
+        def _init():
+            dg_ref[:] = jnp.zeros_like(dg_ref)
+
+        dg_ref[:] += contrib
+
+        # ---- dCoords: analytic corner differences (grid.py:_grid_sample_bwd)
+        v = v_ref[:]
+        okf = (bx & by & bz).astype(f32)
+        dfx = jnp.zeros_like(fx)
+        dfy = jnp.zeros_like(fy)
+        dfz = jnp.zeros_like(fz)
+        for s in range(8):
+            dz_, dy_, dx_ = (s >> 2) & 1, (s >> 1) & 1, s & 1
+            gv = jnp.sum(gt * v[:, s * C:(s + 1) * C], axis=-1,
+                         keepdims=True)
+            wz = fz if dz_ else 1.0 - fz
+            wy = fy if dy_ else 1.0 - fy
+            wx = fx if dx_ else 1.0 - fx
+            dfx = dfx + (1.0 if dx_ else -1.0) * wz * wy * gv
+            dfy = dfy + (1.0 if dy_ else -1.0) * wz * wx * gv
+            dfz = dfz + (1.0 if dz_ else -1.0) * wy * wx * gv
+        dc = jnp.concatenate(
+            [dfx * okf * (0.5 * (W - 1)),
+             dfy * okf * (0.5 * (H - 1)),
+             dfz * okf * (0.5 * (D - 1)),
+             jnp.zeros((tile, cw - 3), f32)], axis=-1)
+        dc_ref[:] = dc
+
+    dg, dc = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, cw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8 * C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((DH, WC), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, cw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((DH, WC), f32),
+                   jax.ShapeDtypeStruct((Pp, cw), f32)],
+        interpret=_interpret(),
+    )(cp, gp, vp)
+
+    dG = dg.reshape(D, H, W, C).transpose(3, 0, 1, 2)
+    return dG, dc[:P, :3]

@@ -50,7 +50,8 @@ class RenderSettings:
     @classmethod
     def from_mode_config(cls, mc: NerfModeConfig, use_pallas: bool = False,
                          compute_dtype: str = "bfloat16",
-                         use_ndc: bool = False) -> "RenderSettings":
+                         use_ndc: bool = False,
+                         fuse_composite: bool = True) -> "RenderSettings":
         return cls(
             num_coarse=mc.num_coarse,
             num_fine=mc.num_fine,
@@ -62,14 +63,17 @@ class RenderSettings:
             use_pallas=bool(use_pallas),
             compute_dtype=compute_dtype,
             use_ndc=bool(use_ndc),
+            fuse_composite=bool(fuse_composite),
         )
 
     @classmethod
     def from_config(cls, cfg: Config, mode: str) -> "RenderSettings":
-        return cls.from_mode_config(getattr(cfg.nerf, mode),
-                                    use_pallas=cfg.runtime.use_pallas,
-                                    compute_dtype=cfg.runtime.compute_dtype,
-                                    use_ndc=not cfg.dataset.no_ndc)
+        return cls.from_mode_config(
+            getattr(cfg.nerf, mode),
+            use_pallas=cfg.runtime.use_pallas,
+            compute_dtype=cfg.runtime.compute_dtype,
+            use_ndc=not cfg.dataset.no_ndc,
+            fuse_composite=getattr(cfg.runtime, "fuse_composite", True))
 
 
 class RayRenderResult(NamedTuple):

@@ -98,6 +98,15 @@ def main():
             return st
         time_scan("full", body, state, batch)
 
+    if "full_nofuse" in variants:
+        cfg_nf = make_cfg(fuse_composite=False)
+        ts_nf = TrainSettings.from_config(cfg_nf)
+
+        def body_nf(st, b, k):
+            st, _ = train_step(st, b, k, spec, ts_nf, optimizer)
+            return st
+        time_scan("full_nofuse", body_nf, state, batch)
+
     if "fwd" in variants:
         # forward-only: selection + render + loss, no grad/optimizer
         from sahs_tpu.train.stage1 import _stage1_losses, class_weights

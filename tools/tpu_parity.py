@@ -41,6 +41,11 @@ def main():
     cfg = Config()
     spec = ModelSpec.from_config(cfg)
     params = init_model_params(jax.random.PRNGKey(0), spec)
+    # At random init every sigma_raw is < 0: relu kills ALL grads when a
+    # background prior is set (the last sample takes the whole ray), which
+    # made the grad comparison vacuously 0==0. Scale to a non-degenerate
+    # operating point (some sigma>0 on every ray) and assert non-zero grads.
+    params = jax.tree_util.tree_map(lambda x: x * 3.0, params)
     rng = np.random.RandomState(0)
     ro = jnp.zeros((R, 3), jnp.float32)
     rd = jnp.asarray((rng.randn(R, 3) * 0.05
@@ -77,6 +82,12 @@ def main():
     fwd_o, grad_o = make_fns(False, "float32")
     y_o = jax.device_get(fwd_o(params))
     g_o = jax.device_get(grad_o(params))
+    g_norm = float(np.sqrt(sum(float(np.vdot(l, l))
+                               for l in jax.tree_util.tree_leaves(g_o))))
+    print(f"oracle grad norm {g_norm:.4f}")
+    if g_norm < 1e-3:
+        print("DEGENERATE: oracle grads ~0 — comparison would be vacuous")
+        sys.exit(1)
 
     failures = []
     for dtype, thresh_y, thresh_g in (("float32", 1e-5, 5e-4),
