@@ -36,7 +36,9 @@ def _axis_weight_tile(c, n, f32):
     i = (c.astype(f32) + 1.0) * 0.5 * (n - 1)
     i0 = jnp.floor(i)
     f = i - i0
-    idx = jax.lax.broadcasted_iota(f32, (c.shape[0], n), 1)
+    # Mosaic's tpu.iota only produces integers (f32 iota fails verification
+    # on-chip even though interpret mode accepts it)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (c.shape[0], n), 1).astype(f32)
     A = (jnp.where(idx == i0, 1.0 - f, 0.0)
          + jnp.where(idx == i0 + 1, f, 0.0))
     band = (i0 >= -1) & (i0 <= n - 1)
@@ -149,6 +151,8 @@ def grid_bwd_fused(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
         ],
         out_shape=[jax.ShapeDtypeStruct((DH, WC), f32),
                    jax.ShapeDtypeStruct((Pp, cw), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(cp, gp, vp)
 

@@ -168,7 +168,21 @@ def test_pipeline_pallas_grads_match_oracle(setup):
     the oracle path. Loss touches rgb coarse+fine AND the fine weights so
     the kernel's g_w cotangent path is exercised."""
     from sahs_tpu.render.pipeline import RenderSettings, render_rays
-    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    spec, params, _shared_rng, pe_x, driving, pose_enc, cond = setup
+    # Private RNG: the fixture's RandomState is stateful/shared, which made
+    # the test's inputs depend on which tests ran before it (and its
+    # cliff-sensitivity tolerance order-dependent).
+    rng = np.random.RandomState(42)
+    # At raw init every sigma_raw < 0, so with a background prior ALL param
+    # grads are exactly 0 and the comparison is vacuous; shift the
+    # sigma-head bias to a live operating point (relu active on a realistic
+    # fraction of samples).
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    for lvl in ("coarse", "fine"):
+        params[lvl] = dict(params[lvl])
+        params[lvl]["fc_alpha"] = {
+            "w": params[lvl]["fc_alpha"]["w"],
+            "b": params[lvl]["fc_alpha"]["b"] + 0.5}
     R = 8
     ro = np.zeros((R, 3), np.float32)
     rd = (rng.randn(R, 3) * 0.05 + np.array([0, 0, -1.0])).astype(np.float32)
@@ -196,15 +210,24 @@ def test_pipeline_pallas_grads_match_oracle(setup):
                        argnums=(0, 1))(params, bg)
     gp, gbp = jax.grad(lambda p, b: loss(p, b, s_pallas),
                        argnums=(0, 1))(params, bg)
+    g_norm = float(jnp.sqrt(sum(jnp.vdot(l, l)
+                                for l in jax.tree_util.tree_leaves(go))))
+    assert g_norm > 1e-2, "oracle grads ~0 — comparison would be vacuous"
     paths = jax.tree_util.tree_leaves_with_path(go)
     flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
     for path, a in paths:
-        b = flat_p[path]
-        scale = float(jnp.abs(a).max()) + 1e-6
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a),
-            atol=5e-4 * max(scale, 1.0),
-            err_msg=jax.tree_util.keystr(path))
+        b = np.asarray(flat_p[path], np.float64)
+        a = np.asarray(a, np.float64)
+        # Per-leaf L2 bound, not pointwise max: individual samples sitting
+        # on relu/trilerp-knot cliffs land on different sides under
+        # different-but-valid f32 fusion orders, flipping single O(1e-3)
+        # grad contributions (the oracle itself moves this much under a
+        # 1e-6 input perturbation).
+        na = np.linalg.norm(a)
+        # floor the denominator at 1% of the global grad norm so leaves
+        # with negligible gradient cannot dominate the relative metric
+        err = np.linalg.norm(b - a) / max(na, 0.01 * g_norm)
+        assert err < 5e-2, (jax.tree_util.keystr(path), err, na)
     np.testing.assert_allclose(np.asarray(gbp), np.asarray(gbo), atol=5e-4)
 
 

@@ -49,7 +49,9 @@ def main():
         sel = jnp.take(labels, idx)
         return jnp.sum(jax.nn.one_hot(sel, NUM_CLASSES), axis=0)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
     def counts(key0, use_approx):
         def body(acc, i):
             k = jax.random.fold_in(key0, i)
