@@ -210,8 +210,12 @@ class RuntimeConfig:
     # TPU execution knobs (new)
     use_pallas: bool = True
     # with use_pallas: volume-composite inside the NeRF kernel (per-ray
-    # outputs; kills the XLA (R,S,C) compositing chain)
-    fuse_composite: bool = True
+    # outputs). Measured on v5e (BENCH_NOTES r3): the fused TRAIN step is
+    # 64.2 vs 63.8 ms unfused — the bwd kernel's head+composite recompute
+    # costs slightly more than the XLA (R,S,C) chain it replaces — so the
+    # default is OFF (flip per-config to ablate; eval_bench measures the
+    # fwd-only case).
+    fuse_composite: bool = False
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     donate_state: bool = True
     # Eval-time pose override: render every frame from the FIRST frame's

@@ -17,7 +17,7 @@ AudioNet(window) (AudioFace path, models.py:507-528).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -198,6 +198,22 @@ def level_kernel_compatible(samples: int) -> bool:
     return bool(samples) and TILE % samples == 0 and BWD_TILE % samples == 0
 
 
+class RenderFns(NamedTuple):
+    """Field evaluators built by make_render_fns.
+
+    field_fn(level, pts_flat (P,3), dirs_ray (R,3), samples) -> (P,16);
+    level_fn: fused MLP+composite variant or None;
+    front_fn(pts_flat) -> (pts_raw, se): the level-independent deformation
+    front half (warp+hyper+grid sample), exposed so the pipeline can reuse
+    the coarse positions' outputs at the fine level (None on oracle path);
+    nerf_fn(level, (pts_raw, se), dirs_ray, samples) -> (P,16): the NeRF
+    back half consuming a precomputed front half (None on oracle path)."""
+    field_fn: Callable
+    level_fn: Optional[Callable]
+    front_fn: Optional[Callable]
+    nerf_fn: Optional[Callable]
+
+
 def make_render_fns(params: Params, spec: ModelSpec,
                     driving_or_audio: jnp.ndarray, pose: jnp.ndarray,
                     latent_code=None, use_pallas: bool = False,
@@ -240,7 +256,7 @@ def make_render_fns(params: Params, spec: ModelSpec,
                 se = grid_sample_3d(params["spatial_embeddings"], mapped[..., :3])
             return query_template(params, spec, level, mapped, dirs_flat,
                                   driving, pose_enc, latent_code, se)
-        return field_fn, None
+        return RenderFns(field_fn, None, None, None)
 
     from ..ops.encoding import encoded_dim
     from ..ops.pallas.field_mlp import (PESpec, _rup, deform_mlp_apply_fused,
@@ -357,10 +373,15 @@ def make_render_fns(params: Params, spec: ModelSpec,
         return (jnp.concatenate(cond_parts) if cond_parts
                 else jnp.zeros((0,), dtype))
 
-    def field_fn(level, pts_flat, dirs_ray, samples):
-        pts_raw, se = front_half(pts_flat)
+    def nerf_fn(level, fh, dirs_ray, samples):
+        """NeRF evaluation from a precomputed deformation front half
+        ``fh = front_half(pts_flat)`` — lets the pipeline REUSE the coarse
+        z-positions' warp/hyper/grid outputs at the fine level instead of
+        recomputing them (the fine sample set is coarse ∪ importance; the
+        deformation nets are level-independent)."""
+        pts_raw, se = fh
         nerf_spec: NeRFSpec = getattr(spec, level)
-        cond = nerf_cond(level, pts_flat.dtype)
+        cond = nerf_cond(level, pts_raw.dtype)
 
         from ..ops.pallas.field_mlp import nerf_mlp_apply_rayd
         if level_kernel_compatible(samples):
@@ -386,6 +407,9 @@ def make_render_fns(params: Params, spec: ModelSpec,
             pts_raw, extra_raw, cond, compute_dtype=compute_dtype,
             pe_spec=pts_pe, extra_pe_spec=extra_pe)
 
+    def field_fn(level, pts_flat, dirs_ray, samples):
+        return nerf_fn(level, front_half(pts_flat), dirs_ray, samples)
+
     def level_fn(level, pts_flat, dirs_ray, samples, z, bg, noise):
         """Fully-fused level: deformation pair -> grid sample -> NeRF MLP
         with in-kernel volume compositing (per-RAY outputs; no (P,128) raw
@@ -399,7 +423,7 @@ def make_render_fns(params: Params, spec: ModelSpec,
             nerf_cond(level, pts_flat.dtype), compute_dtype=compute_dtype,
             pe_spec=pts_pe, dir_pe_spec=dir_pe)
 
-    return field_fn, level_fn
+    return RenderFns(field_fn, level_fn, front_half, nerf_fn)
 
 
 def make_field_fn(params: Params, spec: ModelSpec,

@@ -1869,17 +1869,6 @@ def _sel_matrix(tile: int, S: int, dtype):
     return ((row % S) == col).astype(dtype)
 
 
-def _cum_matrix(tile: int, S: int, upper: bool):
-    """(tile, tile) bf16 block-diagonal strictly-lower (or strictly-upper,
-    for the transposed backward contraction) 0/1 matrix: same-ray pairs
-    with q < p (resp. q > p)."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-    q = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-    same = (p // S) == (q // S)
-    tri = (q > p) if upper else (q < p)
-    return (same & tri).astype(jnp.bfloat16)
-
-
 def _01dot(mask, v, exact: bool):
     """mask @ v where mask is 0/1 (exact in bf16) and v is f32.
     exact=True: hi/lo split of v -> f32-exact in two DEFAULT passes.
@@ -1913,12 +1902,39 @@ def _01dotT(mask, v, exact: bool):
                                   precision=jax.lax.Precision.DEFAULT))
 
 
+def _excl_cumsum_lanes(x, reverse: bool = False):
+    """EXCLUSIVE cumulative sum along the last (lane) axis via log2(S)
+    shifted adds — O(S log S) VPU work on a (G, S) block, no (TILE, TILE)
+    mask matmuls. reverse=True gives the transpose (sum over later lanes),
+    i.e. the backward of the forward scan."""
+    S = x.shape[-1]
+    c = x
+    k = 1
+    while k < S:
+        if reverse:
+            shifted = jnp.concatenate(
+                [c[:, k:], jnp.zeros_like(c[:, :k])], axis=-1)
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(c[:, :k]), c[:, :-k]], axis=-1)
+        c = c + shifted
+        k *= 2
+    return c - x
+
+
 def _composite_fwd(spec: NerfRaydSpec, rgb, seg, alpha, z, rd_raw, bg,
                    noise, has_bg: bool, exact: bool, keep: bool = False):
     """In-kernel compositing on one tile (G rays x S samples = TILE points).
     rgb/seg/alpha: (TILE, 128) head blocks; z/noise: (G, S); rd_raw: (G, >=3)
     raw ray dirs; bg: (G, 16) raw prior or None. Returns (rgb_map (G, 16),
-    weights (G, S)) [+ stash dict when keep]."""
+    weights (G, S)) [+ stash dict when keep].
+
+    The transmittance scan runs entirely in the per-RAY (G, S) layout:
+    the per-point sigma column crosses to (G, S) through one tiny 0/1
+    matmul, the exclusive cumsum of log-transmittance is log2(S) lane
+    shifts, and only the channel compositing touches per-point rows. The
+    earlier (TILE, TILE) cum-matrix formulation generated and multiplied
+    1024^2 masks per tile — measured 2.7 ms/step SLOWER than not fusing."""
     S = spec.samples
     tile = rgb.shape[0]
     G = tile // S
@@ -1932,27 +1948,26 @@ def _composite_fwd(spec: NerfRaydSpec, rgb, seg, alpha, z, rd_raw, bg,
 
     expand = _ray_expand(tile, S, jnp.bfloat16)            # exact 0/1
     sel = _sel_matrix(tile, S, f32)
-    dist_flat = jnp.sum(_01dot(expand, dists, exact) * sel, axis=-1,
-                        keepdims=True)                     # (TILE, 1)
 
-    sig_raw = alpha[:, :1].astype(f32)
+    sig_pt = alpha[:, :1].astype(f32)                      # (TILE, 1)
+    sig_gs = _01dotT(expand, sig_pt * sel, exact)          # (G, S)
     if noise is not None:
-        sig_raw = sig_raw + jnp.sum(_01dot(expand, noise, exact) * sel,
-                                    axis=-1, keepdims=True)
+        sig_gs = sig_gs + noise
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
+    is_last_gs = (col == S - 1).astype(f32)
+    sigma = jnp.maximum(sig_gs, 0.0) + 1e-6 * is_last_gs
+    # Keep the transmittance term t = exp(-sigma*dist) = 1 - alpha explicitly:
+    # reconstructing it as (1.0 - alpha + 1e-10) lets XLA reassociate the
+    # constants into (1.0 + 1e-10) - alpha == 0.0 at alpha == 1, whose
+    # log(-inf) NaN-poisons the cumsum (0 * -inf).
+    t_term = jnp.exp(-sigma * dists)                       # (G, S)
+    alpha_gs = 1.0 - t_term
+    logterm = jnp.log(t_term + 1e-10)
+    T = jnp.exp(_excl_cumsum_lanes(logterm))               # (G, S)
+    w_gs = alpha_gs * T                                    # == weights out
+
     row = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
     is_last = ((row % S) == S - 1).astype(f32)
-    sigma = jnp.maximum(sig_raw, 0.0) + 1e-6 * is_last
-    # Keep the transmittance term t = exp(-sigma*dist) = 1 - alpha explicitly:
-    # reconstructing it as (1.0 - alpha_p + 1e-10) lets XLA reassociate the
-    # constants into (1.0 + 1e-10) - alpha_p == 0.0 at alpha_p == 1, whose
-    # log(-inf) NaN-poisons the cumprod matmul (0 * -inf).
-    t_term = jnp.exp(-sigma * dist_flat)
-    alpha_p = 1.0 - t_term
-    logterm = jnp.log(t_term + 1e-10)
-    M = _cum_matrix(tile, S, upper=False)
-    T = jnp.exp(_01dot(M, logterm, True))                  # always exact
-    w = alpha_p * T                                        # (TILE, 1)
-
     rgb_sig = jax.nn.sigmoid(rgb[:, :3].astype(f32))       # (TILE, 3)
     if has_bg:
         sl = seg[:, :12].astype(f32)
@@ -1972,13 +1987,15 @@ def _composite_fwd(spec: NerfRaydSpec, rgb, seg, alpha, z, rd_raw, bg,
             [rgb_sig, seg_sig, jnp.zeros((tile, 1), f32)], axis=-1)
         ssm_s = seg_sig
 
-    rgb_map = _01dotT(expand, w * ch, exact)               # (G, 16)
-    weights = _01dotT(expand, w * sel, exact)              # (G, S)
+    w_flat = jnp.sum(_01dot(expand, w_gs, exact) * sel, axis=-1,
+                     keepdims=True)                        # (TILE, 1)
+    rgb_map = _01dotT(expand, w_flat * ch, exact)          # (G, 16)
+    weights = w_gs
     if not keep:
         return rgb_map, weights
-    stash = dict(expand=expand, sel=sel, is_last=is_last, sigma=sigma,
-                 sig_raw=sig_raw, dist_flat=dist_flat, alpha_p=alpha_p,
-                 t_term=t_term, T=T, w=w, ch=ch, rgb_sig=rgb_sig, ssm=ssm_s)
+    stash = dict(expand=expand, sel=sel, is_last=is_last, sig_gs=sig_gs,
+                 dists=dists, alpha_gs=alpha_gs, t_term=t_term, T=T,
+                 w_flat=w_flat, ch=ch, rgb_sig=rgb_sig, ssm=ssm_s)
     return rgb_map, weights, stash
 
 
@@ -1987,31 +2004,32 @@ def _composite_bwd(spec: NerfRaydSpec, st, g_rgb, g_w, has_bg: bool,
     """Backward of _composite_fwd given per-ray cotangents g_rgb (G, 16),
     g_w (G, S). Returns (grgb3 (TILE,3), gseg12 (TILE,12),
     gsigraw (TILE,1), g_bg (G,16))."""
-    S = spec.samples
     expand, sel = st["expand"], st["sel"]
-    w, T, alpha_p, ch = st["w"], st["T"], st["alpha_p"], st["ch"]
+    T, alpha_gs, ch = st["T"], st["alpha_gs"], st["ch"]
+    w_flat, t_term = st["w_flat"], st["t_term"]
     is_last = st["is_last"]
-    tile = w.shape[0]
     f32 = jnp.float32
 
     g_rgb_flat = _01dot(expand, g_rgb.astype(f32), exact)   # (TILE, 16)
-    g_w_flat = (jnp.sum(ch * g_rgb_flat, axis=-1, keepdims=True)
-                + jnp.sum(_01dot(expand, g_w.astype(f32), exact) * sel,
-                          axis=-1, keepdims=True))
-    g_ch = w * g_rgb_flat                                    # (TILE, 16)
+    g_ch = w_flat * g_rgb_flat                               # (TILE, 16)
     g_bg = _01dotT(expand, is_last * g_ch, exact) if has_bg \
         else jnp.zeros_like(g_rgb)
 
-    # alpha/T chain: w = a*T, T = exp(M @ log(1-a+eps))
-    g_T = g_w_flat * alpha_p
+    # dL/dw in (G, S): the external weights cotangent plus the channel dot
+    cg_pt = jnp.sum(ch * g_rgb_flat, axis=-1, keepdims=True)  # (TILE, 1)
+    g_w_tot = g_w.astype(f32) + _01dotT(expand, cg_pt * sel, exact)
+
+    # alpha/T chain: w = a*T, T = exp(exclusive_cumsum(log t))
+    g_T = g_w_tot * alpha_gs
     g_cum = T * g_T
-    Mu = _cum_matrix(tile, S, upper=True)                    # M^T
-    g_logterm = _01dot(Mu, g_cum, True)
+    g_logterm = _excl_cumsum_lanes(g_cum, reverse=True)      # transpose scan
     # t_term = exp(-sigma*dist) = 1 - alpha, stashed (same reassociation
     # hazard as in the forward: never recompute it as 1 - alpha + eps).
-    g_alpha = g_w_flat * T - g_logterm / (st["t_term"] + 1e-10)
-    g_sigma = g_alpha * st["t_term"] * st["dist_flat"]
-    g_sigraw = g_sigma * (st["sig_raw"] > 0).astype(f32)
+    g_alpha = g_w_tot * T - g_logterm / (t_term + 1e-10)
+    g_sigma = g_alpha * t_term * st["dists"]
+    g_sigraw_gs = g_sigma * (st["sig_gs"] > 0).astype(f32)   # (G, S)
+    g_sigraw = jnp.sum(_01dot(expand, g_sigraw_gs, exact) * sel,
+                       axis=-1, keepdims=True)               # (TILE, 1)
 
     not_last = (1.0 - is_last) if has_bg else jnp.ones_like(is_last)
     rgb_sig = st["rgb_sig"]

@@ -76,6 +76,29 @@ class RenderSettings:
             fuse_composite=getattr(cfg.runtime, "fuse_composite", True))
 
 
+@jax.custom_vjp
+def permute_samples(x: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """Reorder the sample axis of x (R, S, C) by perm (R, S).
+
+    The transpose of a permutation gather is a gather with the inverse
+    permutation — this custom VJP keeps the backward a gather too (XLA
+    would otherwise emit a TPU scatter, which is ~an order of magnitude
+    slower at these shapes)."""
+    return jnp.take_along_axis(x, perm[..., None], axis=1)
+
+
+def _permute_samples_fwd(x, perm):
+    inv = jnp.argsort(perm, axis=-1)
+    return jnp.take_along_axis(x, perm[..., None], axis=1), inv
+
+
+def _permute_samples_bwd(inv, g):
+    return jnp.take_along_axis(g, inv[..., None], axis=1), None
+
+
+permute_samples.defvjp(_permute_samples_fwd, _permute_samples_bwd)
+
+
 class RayRenderResult(NamedTuple):
     rgb_coarse: jnp.ndarray            # (R, C) rgb(3) [+ seg(12)]
     disp_coarse: jnp.ndarray
@@ -119,20 +142,23 @@ def render_rays(
 
     # Shared per-frame conditioning, computed once (the reference recomputes
     # per chunk/level with identical results, models.py:514-521).
-    level_fn = None
+    level_fn = front_fn = nerf_fn = None
     if field_fn is None:
-        field_fn, level_fn = nerface.make_render_fns(
+        field_fn, level_fn, front_fn, nerf_fn = nerface.make_render_fns(
             params, spec, driving_or_audio, pose, latent_code=latent_code,
             use_pallas=settings.use_pallas,
             compute_dtype=settings.compute_dtype)
     if not settings.fuse_composite:
         level_fn = None
 
-    def run_level(level, z_vals, noise_key):
-        pts = ray_origins[:, None, :] + ray_directions[:, None, :] * z_vals[..., None]
+    def run_level(level, z_vals, noise_key, raw_override=None):
         S = z_vals.shape[-1]
-        pts_flat = pts.reshape(-1, 3)
-        if level_fn is not None and nerface.level_kernel_compatible(S):
+        if raw_override is None:
+            pts = (ray_origins[:, None, :]
+                   + ray_directions[:, None, :] * z_vals[..., None])
+            pts_flat = pts.reshape(-1, 3)
+        if raw_override is None and level_fn is not None \
+                and nerface.level_kernel_compatible(S):
             # Fully-fused path: MLP + volume compositing in one kernel
             # (per-ray outputs). disp/acc/depth are the same cheap (R,S)
             # reductions the oracle computes (volume_rendering_utils.py:71-73).
@@ -151,8 +177,11 @@ def render_rays(
                 rgb = rgb + (1.0 - acc[..., None])
             from ..ops.rendering import RenderOutputs
             return RenderOutputs(rgb, disp, acc, weights, depth)
-        raw = field_fn(level, pts_flat, ray_directions, S)
-        raw = raw.reshape(num_rays, S, raw.shape[-1])
+        if raw_override is not None:
+            raw = raw_override
+        else:
+            raw = field_fn(level, pts_flat, ray_directions, S)
+            raw = raw.reshape(num_rays, S, raw.shape[-1])
         if background_prior is not None:
             raw = raw.at[:, -1, :-1].set(background_prior)
         return volume_render_radiance_field(
@@ -163,10 +192,32 @@ def render_rays(
             noise_key=noise_key,
         )
 
+    # Deformation reuse (Pallas non-fused path): the fine sample set is
+    # coarse UNION importance, and the warp/hyper/grid front half is
+    # level-independent -- compute it ONCE per position. The fine NeRF MLP
+    # runs on concat-order points (a per-point field is order-invariant
+    # within a ray) and only the (R, S, 16) raw output is permuted into
+    # ascending-z order for compositing. Identical math to the recompute
+    # path. The last sorted sample is always the coarse far sample
+    # (importance draws come from interior bin midpoints), so the
+    # background-prior last-row substitution is unaffected.
+    reuse = (front_fn is not None and level_fn is None
+             and settings.num_fine > 0 and spec.fine is not None)
+
     z_coarse = coarse_z_vals(nearv, farv, settings.num_coarse,
                              lindisp=settings.lindisp,
                              perturb=settings.perturb, key=keys[0])
-    coarse = run_level("coarse", z_coarse, keys[1])
+    fh_coarse = None
+    if reuse:
+        Sc = z_coarse.shape[-1]
+        pts_c = (ray_origins[:, None, :]
+                 + ray_directions[:, None, :] * z_coarse[..., None])
+        fh_coarse = front_fn(pts_c.reshape(-1, 3))
+        raw_c = nerf_fn("coarse", fh_coarse, ray_directions, Sc)
+        coarse = run_level("coarse", z_coarse, keys[1],
+                           raw_override=raw_c.reshape(num_rays, Sc, -1))
+    else:
+        coarse = run_level("coarse", z_coarse, keys[1])
 
     if settings.num_fine <= 0 or spec.fine is None:
         return RayRenderResult(coarse.rgb, coarse.disp, coarse.acc,
@@ -175,8 +226,27 @@ def render_rays(
     z_mid = 0.5 * (z_coarse[..., 1:] + z_coarse[..., :-1])
     z_samples = sample_pdf(z_mid, coarse.weights[..., 1:-1], settings.num_fine,
                            det=(not settings.perturb), key=keys[2])
-    z_fine = merge_z_vals(z_coarse, z_samples)
-    fine = run_level("fine", z_fine, keys[3])
+    if reuse:
+        Sc = z_coarse.shape[-1]
+        Sn = z_samples.shape[-1]
+        S = Sc + Sn
+        pts_n = (ray_origins[:, None, :]
+                 + ray_directions[:, None, :] * z_samples[..., None])
+        fh_new = front_fn(pts_n.reshape(-1, 3))
+        fh_fine = tuple(
+            (None if c is None else jnp.concatenate(
+                [c.reshape(num_rays, Sc, -1), n.reshape(num_rays, Sn, -1)],
+                axis=1).reshape(num_rays * S, -1))
+            for c, n in zip(fh_coarse, fh_new))
+        raw_f = nerf_fn("fine", fh_fine, ray_directions, S)
+        z_cat = jnp.concatenate([z_coarse, z_samples], axis=-1)
+        perm = jnp.argsort(z_cat, axis=-1)
+        z_fine = jnp.take_along_axis(z_cat, perm, axis=-1)
+        raw_sorted = permute_samples(raw_f.reshape(num_rays, S, -1), perm)
+        fine = run_level("fine", z_fine, keys[3], raw_override=raw_sorted)
+    else:
+        z_fine = merge_z_vals(z_coarse, z_samples)
+        fine = run_level("fine", z_fine, keys[3])
 
     return RayRenderResult(coarse.rgb, coarse.disp, coarse.acc,
                            fine.rgb, fine.disp, fine.acc,

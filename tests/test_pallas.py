@@ -399,3 +399,71 @@ def test_grid_bwd_pallas_kernel_wide_coords():
     np.testing.assert_allclose(np.asarray(dc[:, :3]), np.asarray(dc_ref),
                                atol=1e-4)
     assert float(jnp.abs(dc[:, 3:]).max()) == 0.0
+
+
+def test_pipeline_reuse_path_matches_oracle(setup):
+    """The deformation-reuse path (use_pallas, fuse_composite=False: coarse
+    front half shared with the fine level, fine raw permuted into z order)
+    vs the oracle, forward AND grads."""
+    from sahs_tpu.render.pipeline import RenderSettings, render_rays
+    spec, params, _shared_rng, pe_x, driving, pose_enc, cond = setup
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    for lvl in ("coarse", "fine"):
+        params[lvl] = dict(params[lvl])
+        params[lvl]["fc_alpha"] = {
+            "w": params[lvl]["fc_alpha"]["w"],
+            "b": params[lvl]["fc_alpha"]["b"] + 0.5}
+    rng = np.random.RandomState(7)
+    R = 8
+    ro = np.zeros((R, 3), np.float32)
+    rd = (rng.randn(R, 3) * 0.05 + np.array([0, 0, -1.0])).astype(np.float32)
+    audio = rng.randn(16, 29).astype(np.float32)
+    Rm = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    pose = np.concatenate([Rm, np.array([[0], [0], [0.6]], np.float32)], 1)
+    bg = jnp.asarray(rng.rand(R, 15).astype(np.float32))
+    v_f = jnp.asarray(rng.randn(R, 15).astype(np.float32))
+    base = dict(num_coarse=8, num_fine=8, perturb=False,
+                radiance_field_noise_std=0.0)
+    s_oracle = RenderSettings(**base, use_pallas=False)
+    s_reuse = RenderSettings(**base, use_pallas=True,
+                             compute_dtype="float32", fuse_composite=False)
+
+    def run(settings, p):
+        return render_rays(p, spec, settings, jnp.asarray(ro),
+                           jnp.asarray(rd), 0.48, 1.08, jnp.asarray(audio),
+                           jnp.asarray(pose), background_prior=bg)
+
+    out_o = run(s_oracle, params)
+    out_r = run(s_reuse, params)
+    np.testing.assert_allclose(np.asarray(out_r.rgb_fine),
+                               np.asarray(out_o.rgb_fine), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_r.weights),
+                               np.asarray(out_o.weights), atol=1e-4)
+
+    # Gradients: the strong property is reuse == recompute with the SAME
+    # kernels (measured bitwise-identical forward; grads to ~1e-5) — an
+    # oracle grad comparison at the fine level is chaos-limited (z_samples
+    # depend on coarse weights; PE/trilerp amplification) and already
+    # covered by test_pipeline_pallas_grads_match_oracle.
+    from sahs_tpu.models import nerface as nerface_mod
+
+    def run_recompute(p):
+        fns = nerface_mod.make_render_fns(
+            p, spec, jnp.asarray(audio), jnp.asarray(pose),
+            use_pallas=True, compute_dtype="float32")
+        return render_rays(p, spec, s_reuse, jnp.asarray(ro),
+                           jnp.asarray(rd), 0.48, 1.08, jnp.asarray(audio),
+                           jnp.asarray(pose), background_prior=bg,
+                           field_fn=fns.field_fn)
+
+    np.testing.assert_array_equal(np.asarray(run_recompute(params).rgb_fine),
+                                  np.asarray(out_r.rgb_fine))
+    gr = jax.grad(lambda p: jnp.vdot(run(s_reuse, p).rgb_fine, v_f))(params)
+    gc = jax.grad(lambda p: jnp.vdot(run_recompute(p).rgb_fine, v_f))(params)
+    g_norm = float(jnp.sqrt(sum(jnp.vdot(l, l)
+                                for l in jax.tree_util.tree_leaves(gr))))
+    assert g_norm > 1e-2
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gc),
+                            jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(path))

@@ -74,9 +74,9 @@ def test_level_fn_fused_composite_runs():
     z = jnp.asarray(np.sort(rng.rand(R, S).astype(np.float32) + 0.5, -1))
     bg = jnp.asarray(rng.rand(R, 15).astype(np.float32))
 
-    _, level_fn = nerface.make_render_fns(params, spec, driving, pose,
-                                          use_pallas=True,
-                                          compute_dtype="float32")
+    fns = nerface.make_render_fns(params, spec, driving, pose,
+                                  use_pallas=True, compute_dtype="float32")
+    level_fn = fns.level_fn
     assert level_fn is not None
     rgb, weights = jax.jit(
         lambda p, zz: level_fn("fine", p, dirs, S, zz, bg, None))(pts, z)
