@@ -403,6 +403,17 @@ def fold_skip_conditioning(spec_num_hidden: int, trunk_params, skip_every: int,
 # trunk dX chain + PE backward).
 _BWD_SKIP_DW = os.environ.get("SAHS_BWD_SKIP_DW", "0") == "1"
 _BWD_SKIP_GX = os.environ.get("SAHS_BWD_SKIP_GX", "0") == "1"
+# Coarser bisect (rayd vjp only; WRONG results, timing only):
+#   0 = DMA + accumulate machinery alone (no math)
+#   1 = + in-kernel PE        2 = + trunk recompute        -1 = full
+_BWD_STAGE = int(os.environ.get("SAHS_BWD_STAGE", "-1"))
+# SAHS_BWD_NO_DWREFS=1 removes the dW output refs from the rayd vjp
+# pallas_call entirely (returns zero weight grads; timing only).
+_BWD_NO_DWREFS = os.environ.get("SAHS_BWD_NO_DWREFS", "0") == "1"
+# SAHS_BWD_NO_VMEMLIM=1 drops the vmem_limit_bytes compiler param.
+_BWD_NO_VMEMLIM = os.environ.get("SAHS_BWD_NO_VMEMLIM", "0") == "1"
+# SAHS_BWD_NO_GSE=1 drops the (narrow) gse output ref (timing only).
+_BWD_NO_GSE = os.environ.get("SAHS_BWD_NO_GSE", "0") == "1"
 
 BWD_TILE = int(os.environ.get("SAHS_BWD_TILE", "1024"))
                  # bwd holds weights + dW accumulators + per-tile activations
@@ -1580,6 +1591,25 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
         x_raw = x_ref[:]
         if xw_blk > xw:
             x_raw = x_raw[:, :xw]
+        if _BWD_STAGE >= 0:
+            probe = x_raw
+            if _BWD_STAGE >= 1:
+                probe = _pe_apply(x_raw, pe_refs)
+            if _BWD_STAGE >= 2:
+                tspec_p = TrunkSpec(spec.num_layers, spec.skip_every,
+                                    spec.in_dim, spec.hidden, 0, act="leaky",
+                                    compute_dtype=spec.compute_dtype)
+                probe = _trunk_forward(tspec_p, probe.astype(cdt),
+                                       W["ws"], W["bs"])
+            gx_ref[:] = jnp.broadcast_to(
+                jnp.sum(probe, axis=-1, keepdims=True) + g_ref[0, 0],
+                gx_ref.shape).astype(gx_ref.dtype)
+            if not _BWD_NO_DWREFS:
+                _accumulate(dw_refs, [jnp.zeros(r.shape, jnp.float32)
+                                      for r in dw_refs], pl.program_id(0) == 0)
+            if gse_ref is not None:
+                gse_ref[:] = jnp.zeros(gse_ref.shape, gse_ref.dtype)
+            return
         x_t = _pe_apply(x_raw, pe_refs)
         dir_pe = _pe_apply(d_ref[:], dpe_refs).astype(cdt)
         se_t = se_refs[0][:] if n_se else None
@@ -1691,9 +1721,11 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
         out_specs.append(pl.BlockSpec((BWD_TILE, spec.se_dim),
                                       lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
-    out_shapes += [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat]
-    out_specs += [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
-                               memory_space=pltpu.VMEM) for f in flat]
+    if not _BWD_NO_DWREFS:
+        out_shapes += [jax.ShapeDtypeStruct(f.shape, jnp.float32)
+                       for f in flat]
+        out_specs += [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                   memory_space=pltpu.VMEM) for f in flat]
     se_specs = ([pl.BlockSpec((BWD_TILE, spec.se_dim), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] if n_se else [])
     outs = pl.pallas_call(
@@ -1711,14 +1743,17 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
                  + _pe_block_specs(pe_spec) + _pe_block_specs(dir_pe_spec),
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=(None if _BWD_NO_VMEMLIM else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)),
         interpret=_interpret(),
     )(xp, dp, gp, *se_in, *flat, *pe_in, *dpe_in)
 
     gx = outs[0][:P, :raw_in]
     gse = outs[1][:P].astype(pts_raw.dtype) if n_se else None
-    flat_grads = list(outs[1 + n_se:])
+    if _BWD_NO_DWREFS:
+        flat_grads = [jnp.zeros(f.shape, jnp.float32) for f in flat]
+    else:
+        flat_grads = list(outs[1 + n_se:])
 
     it = iter(flat_grads)
     grads_tree = {"trunk": [], "dir": [], "seg": []}
