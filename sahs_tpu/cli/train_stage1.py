@@ -7,7 +7,7 @@ Differences by design (TPU-first):
   - the whole step (weighted ray selection -> render -> loss -> adam) is one
     jitted program; frames are staged on device up-front;
   - randomness is jax.random (seeded from cfg.experiment.randomseed);
-  - checkpoints are the native pickle schema (utils/checkpoint.py) and can
+  - checkpoints are the pickle-free npz schema (utils/checkpoint.py) and can
     also be bootstrapped from a reference torch checkpoint via
     --import-torch-checkpoint.
 """
@@ -75,7 +75,19 @@ def main(argv=None):
           f"{train_data.H}x{train_data.W}")
 
     background = None
-    if ts.fixed_background or ts.train_background:
+    if ts.train_background and not ts.fixed_background:
+        # Trainable-background initialization: mean over the training frames,
+        # optionally gaussian-blurred (reference train_stage_rays_auto.py:
+        # 143-157; fixed_background=True overwrites this with the GT file in
+        # the reference, mirrored by the elif below).
+        from ..data.common import average_background
+        acc = None
+        for j in range(len(train_data)):
+            img = np.asarray(train_data[j]["image"], np.float32)
+            acc = img.copy() if acc is None else acc + img
+        background = jnp.asarray(average_background(
+            acc[None] / len(train_data), blur=cfg.runtime.blur_background))
+    elif ts.fixed_background or ts.train_background:
         bg = train_data.background()
         background = jnp.asarray(bg) if bg is not None else None
 
@@ -187,13 +199,19 @@ def main(argv=None):
             rays_done = 0
 
         if crossed(i_prev, i, cfg.experiment.validate_every) and i > 0:
-            _validate(cfg, spec, state, val_data, background, logger, i, key)
+            bg_val = (state.params.get("background", None)
+                      if ts.train_background else background)
+            _validate(cfg, spec, state, val_data, bg_val, logger, i, key)
 
         if (crossed(i_prev, i, cfg.experiment.save_every) and i > 0) \
                 or i >= n_iters:
             path = os.path.join(logdir, f"checkpoint{i:07d}.ckpt")
+            # trainable background: the initial buffer was donated into the
+            # train state on step 1 — save the live trained one instead
+            bg_save = (state.params.get("background", None)
+                       if ts.train_background else background)
             ckpt_lib.save_checkpoint(path, state, extras={
-                "background": background, "pose_c": pose_c,
+                "background": bg_save, "pose_c": pose_c,
                 "height": train_data.H, "width": train_data.W,
                 "focal_length": train_data.intrinsics,
             })

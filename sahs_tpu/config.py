@@ -216,7 +216,11 @@ class RuntimeConfig:
     # default is OFF (flip per-config to ablate; eval_bench measures the
     # fwd-only case).
     fuse_composite: bool = False
-    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # Training compute dtype. bf16 is the default so the shipped trainer IS
+    # the benchmarked configuration (PARITY_TPU.json certifies bf16 kernel
+    # parity: out 6.4e-3 / grad cosine 0.99996 vs the f32 oracle); switch to
+    # "float32" for parity/debug runs.
+    compute_dtype: str = "bfloat16"  # "float32" | "bfloat16"
     donate_state: bool = True
     # Eval-time pose override: render every frame from the FIRST frame's
     # camera pose (the reference's hardcoded `frontalize` flag,

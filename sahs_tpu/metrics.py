@@ -84,22 +84,33 @@ def l1(im1: np.ndarray, im2: np.ndarray) -> float:
 
 
 _lpips_fn = None
+_lpips_vendored: Optional[dict] = None
 
 
 def lpips_pair(im1: np.ndarray, im2: np.ndarray) -> Optional[float]:
-    """LPIPS(alex) if the optional ``lpips`` package is installed, else None."""
-    global _lpips_fn
+    """LPIPS(alex): official ``lpips`` package if installed, else the
+    vendored JAX implementation (sahs_tpu/lpips.py) with weights from
+    ``SAHS_LPIPS_WEIGHTS``, else None (offline)."""
+    global _lpips_fn, _lpips_vendored
     try:
         import lpips  # type: ignore
         import torch
+        if _lpips_fn is None:
+            _lpips_fn = lpips.LPIPS(net="alex")
+        t1 = torch.FloatTensor(im1.astype("float32")).permute(2, 0, 1)[None]
+        t2 = torch.FloatTensor(im2.astype("float32")).permute(2, 0, 1)[None]
+        with torch.no_grad():
+            return float(_lpips_fn(t1, t2).item())
     except ImportError:
+        pass
+    if _lpips_vendored is None:
+        from .lpips import load_lpips_params
+        _lpips_vendored = {"params": load_lpips_params(
+            os.environ.get("SAHS_LPIPS_WEIGHTS", ""))}
+    if _lpips_vendored["params"] is None:
         return None
-    if _lpips_fn is None:
-        _lpips_fn = lpips.LPIPS(net="alex")
-    t1 = torch.FloatTensor(im1.astype("float32")).permute(2, 0, 1)[None]
-    t2 = torch.FloatTensor(im2.astype("float32")).permute(2, 0, 1)[None]
-    with torch.no_grad():
-        return float(_lpips_fn(t1, t2).item())
+    from .lpips import lpips_distance
+    return lpips_distance(_lpips_vendored["params"], im1, im2)
 
 
 def save_l2_image(im1: np.ndarray, im2: np.ndarray, outname: str) -> None:
@@ -169,7 +180,8 @@ def two_folders(path_gt: str, path_generated: str,
         if summary["LPIPS"] is not None:
             fo.write("\n mean LPIPS\t%5f\n" % summary["LPIPS"])
         else:
-            fo.write("\n mean LPIPS\tn/a (lpips not installed)\n")
+            fo.write("\n mean LPIPS\tn/a (offline: no lpips package and no "
+                     "SAHS_LPIPS_WEIGHTS file)\n")
     print(summary)
     return summary
 

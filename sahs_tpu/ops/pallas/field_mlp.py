@@ -412,8 +412,6 @@ _BWD_STAGE = int(os.environ.get("SAHS_BWD_STAGE", "-1"))
 _BWD_NO_DWREFS = os.environ.get("SAHS_BWD_NO_DWREFS", "0") == "1"
 # SAHS_BWD_NO_VMEMLIM=1 drops the vmem_limit_bytes compiler param.
 _BWD_NO_VMEMLIM = os.environ.get("SAHS_BWD_NO_VMEMLIM", "0") == "1"
-# SAHS_BWD_NO_GSE=1 drops the (narrow) gse output ref (timing only).
-_BWD_NO_GSE = os.environ.get("SAHS_BWD_NO_GSE", "0") == "1"
 
 BWD_TILE = int(os.environ.get("SAHS_BWD_TILE", "1024"))
                  # bwd holds weights + dW accumulators + per-tile activations
@@ -1708,7 +1706,9 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
         for dw_, db_ in reversed(seg_grads):
             grads.extend([dw_, db_])
         grads.extend([dwseg, dbseg])
-        if _BWD_SKIP_DW:
+        if _BWD_SKIP_DW or _BWD_NO_DWREFS:
+            # NO_DWREFS must also drop the dW compute (not just the refs),
+            # or the timing still includes the full contraction chain.
             grads = [jnp.zeros(r.shape, jnp.float32) for r in dw_refs]
         _accumulate(dw_refs, grads, pl.program_id(0) == 0)
 

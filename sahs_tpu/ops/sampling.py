@@ -54,6 +54,12 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, num_samples: int,
     detached, matching `torch.searchsorted(cdf.detach(), ...)` combined with
     the caller's `.detach()` on the output (train_utils.py:164); we stop
     gradients on the whole output accordingly.
+
+    PRECONDITION: ``bins`` must be monotonically non-decreasing per row.
+    The masked min/max reductions below reproduce searchsorted's
+    below/above lookups only for sorted bins (the earlier take_along_axis
+    form did not need this). All call sites satisfy it: z-value midpoints
+    of sorted coarse z, and sort-merged z levels.
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)

@@ -251,12 +251,23 @@ def make_infer(s: Stage2Settings):
     return jax.jit(infer if s.audio else infer_noaudio)
 
 
-def load_vgg_params(path: str, key: Optional[jax.Array] = None):
+def load_vgg_params(path: str, key: Optional[jax.Array] = None,
+                    allow_random: bool = False):
     """Load VGG weights for the perceptual loss: a torchvision vgg19
-    state_dict (.pth, needs torch) or an .npz of the same keys; empty path
-    -> torch-default random init (documented fallback: no pretrained
-    weights are obtainable offline)."""
+    state_dict (.pth, needs torch) or an .npz of the same keys.
+
+    Empty path raises unless ``allow_random=True``: a "perceptual" loss
+    through random-init VGG features is noise with a learning rate, so it
+    must be an explicit opt-in (tests / architecture checks), never a
+    silent fallback (reference always uses pretrained VGG,
+    _init_spade.py:415-451)."""
     if not path:
+        if not allow_random:
+            raise ValueError(
+                "use_perceptual=True needs pretrained VGG weights: set "
+                "texture_refine.vgg_weights to a vgg19 .pth/.npz (or pass "
+                "allow_random=True for architecture-only runs)")
+        print("WARNING: perceptual loss with RANDOM-init VGG (allow_random)")
         return vgg.vgg19_features_init(key if key is not None
                                        else jax.random.PRNGKey(0))
     if path.endswith(".npz"):

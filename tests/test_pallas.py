@@ -467,3 +467,34 @@ def test_pipeline_reuse_path_matches_oracle(setup):
                             jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_grid_dg_slab_matches_autodiff():
+    """z-slab-predicated dGrid kernel vs autodiff of the 8-gather oracle —
+    random order AND sample-major order, f32 + bf16, padding rows."""
+    from sahs_tpu.ops.grid import _grid_sample_3d_impl
+    from sahs_tpu.ops.pallas.grid_bwd import grid_dg_slab
+
+    rng = np.random.RandomState(3)
+    G = jnp.asarray(rng.randn(32, 32, 32, 32).astype(np.float32) * 0.1)
+    P = 1500   # non-multiple of tile: exercises the padding rows
+    c = jnp.asarray(rng.rand(P, 3).astype(np.float32) * 2.4 - 1.2)
+    cot = jnp.asarray(rng.randn(P, 32).astype(np.float32))
+
+    dg_ref = jax.grad(lambda g_: jnp.vdot(
+        _grid_sample_3d_impl(g_, c), cot))(G)
+
+    dg = grid_dg_slab(G.shape, c, cot, compute_dtype="float32")
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(dg_ref), atol=1e-4)
+
+    dg16 = grid_dg_slab(G.shape, c, cot, compute_dtype="bfloat16")
+    sg = float(jnp.abs(dg_ref).max())
+    np.testing.assert_allclose(np.asarray(dg16), np.asarray(dg_ref),
+                               atol=2e-2 * sg)
+
+    # depth-sorted (sample-major-like) order: same result
+    order = jnp.argsort(c[:, 2])
+    dg_sorted = grid_dg_slab(G.shape, c[order], cot[order],
+                             compute_dtype="float32")
+    np.testing.assert_allclose(np.asarray(dg_sorted), np.asarray(dg_ref),
+                               atol=1e-4)

@@ -79,6 +79,28 @@ def main():
             grid_sample_3d(g, c, "bfloat16"), gcot), argnums=(0, 1))
         timeit("grid_full", lambda g, c, eps: sum(
             jnp.sum(x) for x in f(g + eps, c)), G, pts)
+    if "grid_dg_slab" in cases:
+        from sahs_tpu.ops.pallas.grid_bwd import grid_dg_slab
+        # realistic geometry: one camera, rays over a small FOV, points at
+        # 128 depths — reordered SAMPLE-major so tiles are depth-coherent
+        R, S = P // 128, 128
+        o = np.array([0.0, 0.0, 0.9], np.float32)
+        d = np.stack([rng.uniform(-0.25, 0.25, R),
+                      rng.uniform(-0.25, 0.25, R),
+                      -np.ones(R)], -1).astype(np.float32)
+        t = np.linspace(0.3, 1.7, S).astype(np.float32)
+        pts_ray = o + d[:, None, :] * t[None, :, None]   # (R, S, 3)
+        pts_sm = jnp.asarray(np.transpose(pts_ray, (1, 0, 2)).reshape(-1, 3))
+        pts_rm = jnp.asarray(pts_ray.reshape(-1, 3))
+        timeit("dg_slab smaj", lambda c, g, eps: jnp.sum(
+            grid_dg_slab((32, 32, 32, 32), c + eps, g, "bfloat16")),
+            pts_sm, gcot)
+        timeit("dg_slab rmaj", lambda c, g, eps: jnp.sum(
+            grid_dg_slab((32, 32, 32, 32), c + eps, g, "bfloat16")),
+            pts_rm, gcot)
+        timeit("dg_slab rand", lambda c, g, eps: jnp.sum(
+            grid_dg_slab((32, 32, 32, 32), c + eps, g, "bfloat16")),
+            pts, gcot)
 
     S = 128  # fine-level samples per ray
     dirs_ray = dirs[::S]
