@@ -319,8 +319,10 @@ def make_render_fns(params: Params, spec: ModelSpec,
 
     def front_half(pts_flat):
         """Shared deformation front half: packed canonical points (kept as
-        the (P,128) kernel block when the pair kernel runs) + spatial
-        embedding sampled at the warped positions."""
+        the (P,128) kernel block when the pair kernel runs). The spatial
+        embedding is NOT sampled here — it is folded into the grid-coupled
+        NeRF ops (ops/pallas/field_grid.py) so interp/dCoords run in-kernel
+        and dGrid uses the z-slab contraction."""
         warped = pts_flat
         pts_raw = pts_flat
         if pair_ok:
@@ -357,11 +359,7 @@ def make_render_fns(params: Params, spec: ModelSpec,
                     out_act="linear", compute_dtype=compute_dtype,
                     pe_spec=warp_pe)
                 pts_raw = jnp.concatenate([pts_raw, amb], axis=-1)
-        se = None
-        if spec.use_spatial_embeddings:
-            se = grid_sample_3d(params["spatial_embeddings"], warped,
-                                compute_dtype=compute_dtype)
-        return pts_raw, se
+        return pts_raw, None
 
     def nerf_cond(level, dtype):
         nerf_spec: NeRFSpec = getattr(spec, level)
@@ -373,25 +371,40 @@ def make_render_fns(params: Params, spec: ModelSpec,
         return (jnp.concatenate(cond_parts) if cond_parts
                 else jnp.zeros((0,), dtype))
 
+    use_grid = spec.use_spatial_embeddings
+
     def nerf_fn(level, fh, dirs_ray, samples):
         """NeRF evaluation from a precomputed deformation front half
         ``fh = front_half(pts_flat)`` — lets the pipeline REUSE the coarse
-        z-positions' warp/hyper/grid outputs at the fine level instead of
+        z-positions' warp/hyper outputs at the fine level instead of
         recomputing them (the fine sample set is coarse ∪ importance; the
-        deformation nets are level-independent)."""
-        pts_raw, se = fh
+        deformation nets are level-independent). With spatial embeddings
+        the grid sample rides inside the grid-coupled kernel op."""
+        pts_raw, _ = fh
         nerf_spec: NeRFSpec = getattr(spec, level)
         cond = nerf_cond(level, pts_raw.dtype)
 
         from ..ops.pallas.field_mlp import nerf_mlp_apply_rayd
         if level_kernel_compatible(samples):
+            if use_grid:
+                from ..ops.pallas.field_grid import nerf_mlp_apply_rayd_grid
+                return nerf_mlp_apply_rayd_grid(
+                    params[level], params["spatial_embeddings"],
+                    nerf_spec.num_layers, nerf_spec.skip_connect_every,
+                    pts_raw, dirs_ray, samples, cond,
+                    compute_dtype=compute_dtype,
+                    pe_spec=pts_pe, dir_pe_spec=dir_pe)
             # per-RAY direction PE (point tiles cover whole rays)
             return nerf_mlp_apply_rayd(
                 params[level], nerf_spec.num_layers,
-                nerf_spec.skip_connect_every, pts_raw, dirs_ray, se,
+                nerf_spec.skip_connect_every, pts_raw, dirs_ray, None,
                 samples, cond, compute_dtype=compute_dtype,
                 pe_spec=pts_pe, dir_pe_spec=dir_pe)
         # fallback: per-point dirs (sample count doesn't tile evenly)
+        se = None
+        if use_grid:
+            se = grid_sample_3d(params["spatial_embeddings"], pts_raw,
+                                compute_dtype=compute_dtype)
         dirs_flat = jnp.broadcast_to(
             dirs_ray[:, None, :],
             (dirs_ray.shape[0], samples, 3)).reshape(-1, 3)
@@ -414,12 +427,21 @@ def make_render_fns(params: Params, spec: ModelSpec,
         """Fully-fused level: deformation pair -> grid sample -> NeRF MLP
         with in-kernel volume compositing (per-RAY outputs; no (P,128) raw
         round-trip, no XLA (R,S,C) compositing chain)."""
-        from ..ops.pallas.field_mlp import nerf_render_level
-        pts_raw, se = front_half(pts_flat)
         nerf_spec: NeRFSpec = getattr(spec, level)
+        pts_raw, _ = front_half(pts_flat)
+        if use_grid:
+            from ..ops.pallas.field_grid import nerf_render_level_grid
+            return nerf_render_level_grid(
+                params[level], params["spatial_embeddings"],
+                nerf_spec.num_layers, nerf_spec.skip_connect_every,
+                pts_raw, dirs_ray, samples, z, bg, noise,
+                nerf_cond(level, pts_flat.dtype),
+                compute_dtype=compute_dtype,
+                pe_spec=pts_pe, dir_pe_spec=dir_pe)
+        from ..ops.pallas.field_mlp import nerf_render_level
         return nerf_render_level(
             params[level], nerf_spec.num_layers, nerf_spec.skip_connect_every,
-            pts_raw, dirs_ray, se, samples, z, bg, noise,
+            pts_raw, dirs_ray, None, samples, z, bg, noise,
             nerf_cond(level, pts_flat.dtype), compute_dtype=compute_dtype,
             pe_spec=pts_pe, dir_pe_spec=dir_pe)
 

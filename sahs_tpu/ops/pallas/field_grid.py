@@ -1,0 +1,219 @@
+"""Grid-coupled NeRF kernels: one differentiable op spanning
+corner-gather -> fused NeRF MLP (-> in-kernel compositing).
+
+Why a spanning custom_vjp: the spatial-embedding trilinear sample
+(reference torch F.grid_sample on the 32ch x 32^3 grid, models.py:346-365)
+decomposes TPU-natively as
+
+  fwd:  rows  = cell geometry of the warped coords          (XLA, cheap)
+        corners = one aligned row-gather of the packed
+                  corner table                               (XLA gather)
+        se    = trilinear interp from the corner rows        (IN-kernel)
+  bwd:  dSE -> dCoords: corner differences                   (IN-kernel,
+        folded into the packed gx)
+        dSE -> dGrid: z-slab-predicated factorized
+        contraction on SAMPLE-major points                   (grid_dg_slab)
+
+Neither half matches a per-array custom_vjp boundary (the kernel emits the
+SE cotangent, not a corner cotangent), so grid+MLP differentiate as one op.
+This removes the XLA interp chain, the separate (P, C) se array, and the
+dense 550-GFLOP dGrid contraction from the hot path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..grid import _cell_geometry, pack_corner_table
+from .field_mlp import (PESpec, _rayd_spec_of, fold_conditioning,
+                        fold_skip_conditioning, nerf_level_forward,
+                        nerf_level_vjp, nerf_rayd_forward, nerf_rayd_vjp)
+from .grid_bwd import grid_dg_slab
+
+
+def gather_corners(grid: jnp.ndarray, coords: jnp.ndarray,
+                   compute_dtype: str) -> jnp.ndarray:
+    """(C, D, H, W) grid + (P, >=3) warped coords -> (P, 8C) packed corner
+    rows (ops/grid.py corner-packed layout; bf16 gather in bf16 mode)."""
+    gdt = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    table = pack_corner_table(grid, gather_dtype=gdt)
+    rows, _, _ = _cell_geometry(coords, grid.shape[1:])
+    return jnp.take(table, rows, axis=0)
+
+
+def _sample_major(x: jnp.ndarray, R: int, S: int) -> jnp.ndarray:
+    """(R*S, k) ray-major -> sample-major: all rays' sample s adjacent.
+    Same-sample points share depth (one camera per step), so the slab-dG
+    kernel's tiles stay z-coherent."""
+    return x.reshape(R, S, x.shape[-1]).transpose(1, 0, 2).reshape(
+        R * S, x.shape[-1])
+
+
+def _grid_spec(num_layers, skip_every, pe_dim, samples, compute_dtype,
+               dir_raw, grid_shape, params):
+    spec, hidden = _rayd_spec_of(num_layers, skip_every, pe_dim, dir_raw,
+                                 grid_shape[0], samples, compute_dtype,
+                                 params)
+    import dataclasses
+    spec = dataclasses.replace(spec, corner_interp=True,
+                               grid_dims=tuple(grid_shape[1:]))
+    return spec, hidden
+
+
+def _fold(params, cond, pe_dim, skip_every, hidden):
+    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
+    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
+    p2 = dict(params)
+    p2["trunk"] = trunk
+    return p2
+
+
+# ---------------------------------------------------------------------------
+# Raw-field variant (separate XLA compositing downstream)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _nerf_rayd_grid(num_layers, skip_every, pe_dim, samples, compute_dtype,
+                    pe_spec, dir_pe_spec, grid_shape,
+                    params, grid, pts_raw, dirs_ray, cond):
+    spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
+                              compute_dtype, dir_pe_spec.raw_out, grid_shape,
+                              params)
+    p2 = _fold(params, cond, pe_dim, skip_every, hidden)
+    corners = gather_corners(grid, pts_raw, compute_dtype)
+    return nerf_rayd_forward(spec, pts_raw, dirs_ray, corners, p2,
+                             pe_spec, dir_pe_spec)
+
+
+def _nerf_rayd_grid_fwd(num_layers, skip_every, pe_dim, samples,
+                        compute_dtype, pe_spec, dir_pe_spec, grid_shape,
+                        params, grid, pts_raw, dirs_ray, cond):
+    spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
+                              compute_dtype, dir_pe_spec.raw_out, grid_shape,
+                              params)
+    p2 = _fold(params, cond, pe_dim, skip_every, hidden)
+    corners = gather_corners(grid, pts_raw, compute_dtype)
+    y = nerf_rayd_forward(spec, pts_raw, dirs_ray, corners, p2,
+                          pe_spec, dir_pe_spec)
+    return y, (params, pts_raw, dirs_ray, cond, corners)
+
+
+def _nerf_rayd_grid_bwd(num_layers, skip_every, pe_dim, samples,
+                        compute_dtype, pe_spec, dir_pe_spec, grid_shape,
+                        res, g):
+    from .field_mlp import _unfold_cond_grads
+    params, pts_raw, dirs_ray, cond, corners = res
+    spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
+                              compute_dtype, dir_pe_spec.raw_out, grid_shape,
+                              params)
+    p2 = _fold(params, cond, pe_dim, skip_every, hidden)
+    gx, gse, grads_folded = nerf_rayd_vjp(spec, pts_raw, dirs_ray, corners,
+                                          p2, g, pe_spec, dir_pe_spec)
+    trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
+                                            grads_folded["trunk"], cond,
+                                            skip_every, hidden, pe_dim)
+    grads = dict(grads_folded)
+    grads["trunk"] = trunk_grads
+    R = dirs_ray.shape[0]
+    dG = grid_dg_slab(grid_shape, _sample_major(pts_raw[:, :3], R, samples),
+                      _sample_major(gse, R, samples), compute_dtype)
+    return (grads, dG, gx, jnp.zeros_like(dirs_ray), dcond)
+
+
+_nerf_rayd_grid.defvjp(_nerf_rayd_grid_fwd, _nerf_rayd_grid_bwd)
+
+
+def nerf_mlp_apply_rayd_grid(params, grid, num_layers: int, skip_every: int,
+                             pts_raw: jnp.ndarray, dirs_ray: jnp.ndarray,
+                             samples: int, cond: jnp.ndarray,
+                             compute_dtype: str = "bfloat16",
+                             pe_spec: PESpec = None,
+                             dir_pe_spec: PESpec = None) -> jnp.ndarray:
+    """Fused NeRF MLP with the spatial-embedding sample folded in:
+    pts_raw (P, >=3) packed [warped | ambient]; grid (C, D, H, W).
+    Returns (P, 16) raw field; differentiable wrt params, grid, pts_raw,
+    cond."""
+    return _nerf_rayd_grid(num_layers, skip_every, pe_spec.raw_out, samples,
+                           compute_dtype, pe_spec, dir_pe_spec, grid.shape,
+                           params, grid, pts_raw, dirs_ray, cond)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused level variant (in-kernel volume compositing)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _nerf_level_grid(num_layers, skip_every, pe_dim, samples, compute_dtype,
+                     pe_spec, dir_pe_spec, grid_shape,
+                     params, grid, pts_raw, dirs_ray, z, bg, noise, cond):
+    spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
+                              compute_dtype, dir_pe_spec.raw_out, grid_shape,
+                              params)
+    p2 = _fold(params, cond, pe_dim, skip_every, hidden)
+    corners = gather_corners(grid, pts_raw, compute_dtype)
+    return nerf_level_forward(spec, pts_raw, dirs_ray, corners, z, bg,
+                              noise, p2, pe_spec, dir_pe_spec)
+
+
+def _nerf_level_grid_fwd(num_layers, skip_every, pe_dim, samples,
+                         compute_dtype, pe_spec, dir_pe_spec, grid_shape,
+                         params, grid, pts_raw, dirs_ray, z, bg, noise,
+                         cond):
+    spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
+                              compute_dtype, dir_pe_spec.raw_out, grid_shape,
+                              params)
+    p2 = _fold(params, cond, pe_dim, skip_every, hidden)
+    corners = gather_corners(grid, pts_raw, compute_dtype)
+    y = nerf_level_forward(spec, pts_raw, dirs_ray, corners, z, bg, noise,
+                           p2, pe_spec, dir_pe_spec)
+    return y, (params, pts_raw, dirs_ray, z, bg, noise, cond, corners)
+
+
+def _nerf_level_grid_bwd(num_layers, skip_every, pe_dim, samples,
+                         compute_dtype, pe_spec, dir_pe_spec, grid_shape,
+                         res, gs):
+    from .field_mlp import _unfold_cond_grads
+    params, pts_raw, dirs_ray, z, bg, noise, cond, corners = res
+    g_rgb, g_w = gs
+    spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
+                              compute_dtype, dir_pe_spec.raw_out, grid_shape,
+                              params)
+    p2 = _fold(params, cond, pe_dim, skip_every, hidden)
+    gx, gse, g_bg, grads_folded = nerf_level_vjp(
+        spec, pts_raw, dirs_ray, corners, z, bg, noise, p2, g_rgb, g_w,
+        pe_spec, dir_pe_spec)
+    trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
+                                            grads_folded["trunk"], cond,
+                                            skip_every, hidden, pe_dim)
+    grads = dict(grads_folded)
+    grads["trunk"] = trunk_grads
+    R = dirs_ray.shape[0]
+    dG = grid_dg_slab(grid_shape, _sample_major(pts_raw[:, :3], R, samples),
+                      _sample_major(gse, R, samples), compute_dtype)
+    if g_bg is None and bg is not None:
+        g_bg = jnp.zeros_like(bg)
+    g_noise = jnp.zeros_like(noise) if noise is not None else None
+    return (grads, dG, gx, jnp.zeros_like(dirs_ray),
+            jnp.zeros_like(z), g_bg, g_noise, dcond)
+
+
+_nerf_level_grid.defvjp(_nerf_level_grid_fwd, _nerf_level_grid_bwd)
+
+
+def nerf_render_level_grid(params, grid, num_layers: int, skip_every: int,
+                           pts_raw: jnp.ndarray, dirs_ray: jnp.ndarray,
+                           samples: int, z: jnp.ndarray, bg, noise,
+                           cond: jnp.ndarray,
+                           compute_dtype: str = "bfloat16",
+                           pe_spec: PESpec = None,
+                           dir_pe_spec: PESpec = None):
+    """Fully-fused level with the spatial-embedding sample folded in:
+    NeRF MLP + trilinear interp + volume compositing in one kernel pass.
+    Returns (rgb_map (R, 16), weights (R, S)); differentiable wrt params,
+    grid, pts_raw, bg, cond."""
+    return _nerf_level_grid(num_layers, skip_every, pe_spec.raw_out, samples,
+                            compute_dtype, pe_spec, dir_pe_spec, grid.shape,
+                            params, grid, pts_raw, dirs_ray, z, bg, noise,
+                            cond)

@@ -1339,6 +1339,71 @@ class NerfRaydSpec:
     se_dim: int        # spatial-embedding channels (32) or 0
     samples: int       # S — points per ray (static)
     compute_dtype: str = "bfloat16"
+    # corner-interp mode: the kernel's spatial-embedding input is the
+    # (T, 8*se_dim) packed corner rows (one XLA row-gather per point) and
+    # the trilinear interpolation runs IN-kernel from the warped coords
+    # (x_raw cols 0:3); the bwd also emits the warped-coords cotangent of
+    # the sample (corner differences) folded into gx. Replaces the
+    # separate XLA interp + Pallas dCoords of ops/grid.py on the hot path.
+    corner_interp: bool = False
+    grid_dims: Tuple[int, int, int] = (32, 32, 32)   # (D, H, W)
+
+
+def _interp_corners(x_raw, corners, dims, C, f32):
+    """In-kernel trilinear interp from packed corner rows.
+    x_raw (T, >=3) warped coords in [-1,1] (cols x,y,z -> grid W,H,D),
+    corners (T, 8C) rows of ops/grid.pack_corner_table (slot order
+    (dz,dy,dx)) -> (se (T, C) f32, aux for the backward). Semantics match
+    ops/grid.py exactly: align_corners=True + zeros padding (the table's
+    zero border realizes out-of-range corners; okf masks out-of-band
+    points). Reference: torch F.grid_sample, models.py:346-365."""
+    D_, H_, W_ = dims
+    fs, ok = [], None
+    for axis, n in ((0, W_), (1, H_), (2, D_)):
+        i = x_raw[:, axis:axis + 1].astype(f32) * (0.5 * (n - 1)) \
+            + (0.5 * (n - 1))
+        i0 = jnp.floor(i)
+        fs.append(i - i0)
+        band = (i0 >= -1) & (i0 <= n - 1)
+        ok = band if ok is None else ok & band
+    fx, fy, fz = fs
+    okf = ok.astype(f32)
+    ws = []
+    for dz in (0, 1):
+        wz = fz if dz else 1.0 - fz
+        for dy in (0, 1):
+            wy = fy if dy else 1.0 - fy
+            for dx in (0, 1):
+                wx = fx if dx else 1.0 - fx
+                ws.append(wz * wy * wx * okf)
+    cf = corners.astype(f32)
+    se = None
+    for s in range(8):
+        contrib = cf[:, s * C:(s + 1) * C] * ws[s]
+        se = contrib if se is None else se + contrib
+    return se, (fx, fy, fz, okf, cf)
+
+
+def _corner_dcoords(gse, aux, dims, C, f32):
+    """Warped-coords cotangent of the in-kernel trilinear sample:
+    d out/d f_axis is the corner sum with that axis' weight replaced by
+    +-1 (ops/grid.py:_grid_sample_bwd). gse (T, C) f32 -> (T, 3)."""
+    fx, fy, fz, okf, cf = aux
+    dfx = dfy = dfz = 0.0
+    for s in range(8):
+        dz_, dy_, dx_ = (s >> 2) & 1, (s >> 1) & 1, s & 1
+        gv = jnp.sum(gse * cf[:, s * C:(s + 1) * C], axis=-1, keepdims=True)
+        wz = fz if dz_ else 1.0 - fz
+        wy = fy if dy_ else 1.0 - fy
+        wx = fx if dx_ else 1.0 - fx
+        dfx = dfx + (1.0 if dx_ else -1.0) * wz * wy * gv
+        dfy = dfy + (1.0 if dy_ else -1.0) * wz * wx * gv
+        dfz = dfz + (1.0 if dz_ else -1.0) * wy * wx * gv
+    D_, H_, W_ = dims
+    return jnp.concatenate(
+        [dfx * okf * (0.5 * (W_ - 1)),
+         dfy * okf * (0.5 * (H_ - 1)),
+         dfz * okf * (0.5 * (D_ - 1))], axis=-1)
 
 
 def _flatten_nerf_weights_rayd(spec: NerfRaydSpec, params):
@@ -1486,10 +1551,12 @@ def nerf_rayd_forward(spec: NerfRaydSpec, pts_raw: jnp.ndarray,
     xw_blk = xp.shape[1]
     dp = jnp.pad(dirs_ray, ((0, Rp - dirs_ray.shape[0]),
                             (0, dw - dirs_ray.shape[1])))
+    se_width = spec.se_dim * (8 if spec.corner_interp else 1)
     se_in = []
     if spec.se_dim:
-        se_in = [jnp.pad(se, ((0, Pp - P), (0, 0))).astype(
-            jnp.dtype(spec.compute_dtype))]
+        se_p = jnp.pad(se, ((0, Pp - P), (0, 0)))
+        se_in = [se_p if spec.corner_interp
+                 else se_p.astype(jnp.dtype(spec.compute_dtype))]
     flat = _flatten_nerf_weights_rayd(spec, params)
     n_flat = len(flat)
     pe_in = _pe_input_arrays(pe_spec)
@@ -1510,14 +1577,22 @@ def nerf_rayd_forward(spec: NerfRaydSpec, pts_raw: jnp.ndarray,
             x_raw = x_raw[:, :xw]
         x_t = _pe_apply(x_raw, pe_refs).astype(cdt)
         dir_pe = _pe_apply(d_ref[:], dpe_refs).astype(cdt)
-        se_t = se_refs[0][:] if n_se else None
+        se_t = None
+        if n_se:
+            if spec.corner_interp:
+                se_t, _ = _interp_corners(x_raw, se_refs[0][:],
+                                          spec.grid_dims, spec.se_dim,
+                                          jnp.float32)
+                se_t = se_t.astype(cdt)
+            else:
+                se_t = se_refs[0][:]
         rgb, seg, alpha = _rayd_forward_math(spec, x_t, dir_pe, se_t, W)
         out = jnp.concatenate(
             [rgb[:, :3], seg[:, :12], alpha[:, :1],
              jnp.zeros((rgb.shape[0], 112), rgb.dtype)], axis=-1)
         o_ref[:] = out.astype(o_ref.dtype)
 
-    se_specs = ([pl.BlockSpec((TILE, spec.se_dim), lambda i: (i, 0),
+    se_specs = ([pl.BlockSpec((TILE, se_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] if n_se else [])
     out = pl.pallas_call(
         kernel,
@@ -1562,10 +1637,12 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
     dp = jnp.pad(dirs_ray, ((0, Rp - dirs_ray.shape[0]),
                             (0, dw - dirs_ray.shape[1])))
     gp = jnp.pad(g, ((0, Pp - P), (0, 128 - g.shape[1])))
+    se_width = spec.se_dim * (8 if spec.corner_interp else 1)
     se_in = []
     if spec.se_dim:
-        se_in = [jnp.pad(se, ((0, Pp - P), (0, 0))).astype(
-            jnp.dtype(spec.compute_dtype))]
+        se_p = jnp.pad(se, ((0, Pp - P), (0, 0)))
+        se_in = [se_p if spec.corner_interp
+                 else se_p.astype(jnp.dtype(spec.compute_dtype))]
     flat = _flatten_nerf_weights_rayd(spec, params)
     n_flat = len(flat)
     pe_in = _pe_input_arrays(pe_spec)
@@ -1610,7 +1687,16 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
             return
         x_t = _pe_apply(x_raw, pe_refs)
         dir_pe = _pe_apply(d_ref[:], dpe_refs).astype(cdt)
-        se_t = se_refs[0][:] if n_se else None
+        se_t = None
+        se_aux = None
+        if n_se:
+            if spec.corner_interp:
+                se_f32, se_aux = _interp_corners(x_raw, se_refs[0][:],
+                                                 spec.grid_dims, spec.se_dim,
+                                                 jnp.float32)
+                se_t = se_f32.astype(cdt)
+            else:
+                se_t = se_refs[0][:]
         rgb, seg, alpha, acts = _rayd_forward_math(spec, x_t, dir_pe, se_t,
                                                    W, keep=True)
         g_t = g_ref[:]
@@ -1659,9 +1745,11 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
         dwd0d = _mmT(dir_pe, gsum, cdt)                 # (pe_dir, B)
         dbd0 = jnp.sum(gzd0, axis=0, keepdims=True)
         gfeat = gfeat + _mm(gzd0, W["wd0f"].T, cdt)
+        gse_val = None
         if n_se:
             dwd0s = _mmT(se_t, gzd0, cdt)
-            gse_ref[:] = _mm(gzd0, W["wd0s"].T, cdt).astype(gse_ref.dtype)
+            gse_val = _mm(gzd0, W["wd0s"].T, cdt)[:, :spec.se_dim]
+            gse_ref[:] = gse_val.astype(gse_ref.dtype)
 
         # alpha head
         dwa = _mmT(feat, galpha, cdt)
@@ -1683,6 +1771,13 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
             gx_ref[:] = jnp.zeros(gx_ref.shape, gx_ref.dtype)
         else:
             gx = _pe_bwd(x_raw, gx, pe_refs)
+            if se_aux is not None:
+                # warped-coords cotangent of the in-kernel trilinear sample
+                dc = _corner_dcoords(gse_val, se_aux, spec.grid_dims,
+                                     spec.se_dim, jnp.float32)
+                gx = gx + jnp.concatenate(
+                    [dc, jnp.zeros((dc.shape[0], gx.shape[1] - 3),
+                                   jnp.float32)], axis=-1)
             if gx_width > gx.shape[1]:
                 gx = jnp.concatenate(
                     [gx, jnp.zeros((gx.shape[0], gx_width - gx.shape[1]),
@@ -1726,7 +1821,7 @@ def nerf_rayd_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, params, g,
                        for f in flat]
         out_specs += [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                    memory_space=pltpu.VMEM) for f in flat]
-    se_specs = ([pl.BlockSpec((BWD_TILE, spec.se_dim), lambda i: (i, 0),
+    se_specs = ([pl.BlockSpec((BWD_TILE, se_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] if n_se else [])
     outs = pl.pallas_call(
         kernel,
@@ -2106,8 +2201,9 @@ def _level_io(spec, pts_raw, dirs_ray, se, z, bg, noise, pe_spec,
                               ).astype(jnp.float32))
     se_in = []
     if spec.se_dim:
-        se_in = [jnp.pad(se, ((0, Pp - P), (0, 0))).astype(
-            jnp.dtype(spec.compute_dtype))]
+        se_p = jnp.pad(se, ((0, Pp - P), (0, 0)))
+        se_in = [se_p if spec.corner_interp
+                 else se_p.astype(jnp.dtype(spec.compute_dtype))]
     return P, Pp, Rp, xp, dp, zp, extras, se_in
 
 
@@ -2155,7 +2251,15 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
         x_t = _pe_apply(x_raw, pe_refs).astype(cdt)
         d_raw = d_ref[:]
         dir_pe = _pe_apply(d_raw, dpe_refs).astype(cdt)
-        se_t = se_refs[0][:] if n_se else None
+        se_t = None
+        if n_se:
+            if spec.corner_interp:
+                se_t, _ = _interp_corners(x_raw, se_refs[0][:],
+                                          spec.grid_dims, spec.se_dim,
+                                          jnp.float32)
+                se_t = se_t.astype(cdt)
+            else:
+                se_t = se_refs[0][:]
         rgb, seg, alpha = _rayd_forward_math(spec, x_t, dir_pe, se_t, W)
         i = 0
         bg_t = None
@@ -2169,6 +2273,7 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
         o_rgb[:] = rgb_map.astype(o_rgb.dtype)
         o_w[:] = weights.astype(o_w.dtype)
 
+    se_width = spec.se_dim * (8 if spec.corner_interp else 1)
     ex_specs = []
     if has_bg:
         ex_specs.append(pl.BlockSpec((G, 16), lambda i: (i, 0),
@@ -2176,7 +2281,7 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     if has_noise:
         ex_specs.append(pl.BlockSpec((G, S), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
-    se_specs = ([pl.BlockSpec((TILE, spec.se_dim), lambda i: (i, 0),
+    se_specs = ([pl.BlockSpec((TILE, se_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] if n_se else [])
     outs = pl.pallas_call(
         kernel,
@@ -2264,7 +2369,16 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         x_t = _pe_apply(x_raw, pe_refs)
         d_raw = d_ref[:]
         dir_pe = _pe_apply(d_raw, dpe_refs).astype(cdt)
-        se_t = se_refs[0][:] if n_se else None
+        se_t = None
+        se_aux = None
+        if n_se:
+            if spec.corner_interp:
+                se_f32, se_aux = _interp_corners(x_raw, se_refs[0][:],
+                                                 spec.grid_dims, spec.se_dim,
+                                                 jnp.float32)
+                se_t = se_f32.astype(cdt)
+            else:
+                se_t = se_refs[0][:]
         rgb, seg, alpha, acts = _rayd_forward_math(spec, x_t, dir_pe, se_t,
                                                    W, keep=True)
         i = 0
@@ -2325,9 +2439,11 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         dwd0d = _mmT(dir_pe, gsum, cdt)
         dbd0 = jnp.sum(gzd0, axis=0, keepdims=True)
         gfeat = gfeat + _mm(gzd0, W["wd0f"].T, cdt)
+        gse_val = None
         if n_se:
             dwd0s = _mmT(se_t, gzd0, cdt)
-            gse_ref[:] = _mm(gzd0, W["wd0s"].T, cdt).astype(gse_ref.dtype)
+            gse_val = _mm(gzd0, W["wd0s"].T, cdt)[:, :spec.se_dim]
+            gse_ref[:] = gse_val.astype(gse_ref.dtype)
 
         # alpha head
         dwa = _mmT(feat, galpha, cdt)
@@ -2346,6 +2462,12 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         gx, dws, dbs = _trunk_backward(tspec, x_t, W["ws"], W["bs"],
                                        acts["trunk"], gh)
         gx = _pe_bwd(x_raw, gx, pe_refs)
+        if se_aux is not None:
+            dc = _corner_dcoords(gse_val, se_aux, spec.grid_dims,
+                                 spec.se_dim, jnp.float32)
+            gx = gx + jnp.concatenate(
+                [dc, jnp.zeros((dc.shape[0], gx.shape[1] - 3),
+                               jnp.float32)], axis=-1)
         if gx_width > gx.shape[1]:
             gx = jnp.concatenate(
                 [gx, jnp.zeros((gx.shape[0], gx_width - gx.shape[1]),
@@ -2378,7 +2500,8 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
     if has_noise:
         ex_specs.append(pl.BlockSpec((G, S), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
-    se_specs = ([pl.BlockSpec((BWD_TILE, spec.se_dim), lambda i: (i, 0),
+    se_width = spec.se_dim * (8 if spec.corner_interp else 1)
+    se_specs = ([pl.BlockSpec((BWD_TILE, se_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] if n_se else [])
     out_shapes = [jax.ShapeDtypeStruct((Pp, gx_width), pts_raw.dtype)]
     out_specs = [pl.BlockSpec((BWD_TILE, gx_width), lambda i: (i, 0),

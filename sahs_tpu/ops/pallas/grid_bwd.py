@@ -52,6 +52,33 @@ def _expand_cols(col_mat, rhs, n_cols):
     return jnp.concatenate(pieces, axis=-1)
 
 
+def _expand_cols_mxu(col_mat, rhs, n_cols, f32):
+    """Same rank-1 row expansion, but built by two tiny 0/1 matmuls + one
+    multiply instead of an n_cols-piece lane concat (Mosaic lowers wide
+    lane concats as register shuffles; the MXU spread is much cheaper).
+    out = (col_mat @ SPREAD) * (rhs @ TILEM) where
+    SPREAD (n_cols, n_cols*m) repeats column k over lanes [k*m,(k+1)*m) and
+    TILEM (m, n_cols*m) tiles rhs n_cols times."""
+    m = rhs.shape[-1]
+    lanes = n_cols * m
+    col_id = jax.lax.broadcasted_iota(jnp.int32, (n_cols, lanes), 0)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (n_cols, lanes), 1)
+    spread = (lane_id // m == col_id).astype(col_mat.dtype)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (m, lanes), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (m, lanes), 1)
+    tilem = (lane2 % m == row_id).astype(rhs.dtype)
+    # 0/1 matrices are exact in bf16; bf16 operands + DEFAULT keep the MXU
+    # on its fast path. f32 operands need HIGHEST (DEFAULT would round the
+    # copied values to bf16).
+    prec = (jax.lax.Precision.DEFAULT if col_mat.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    a = jnp.dot(col_mat, spread.astype(col_mat.dtype),
+                preferred_element_type=f32, precision=prec)
+    b = jnp.dot(rhs, tilem.astype(rhs.dtype),
+                preferred_element_type=f32, precision=prec)
+    return a * b
+
+
 def grid_bwd_kernel_ok(grid_shape, n_points: int) -> bool:
     """The fused kernel targets the production spatial-embedding grid
     (fields.py: 32ch x 32^3); other shapes use the XLA fallback."""
@@ -109,10 +136,10 @@ def grid_dg_slab(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
         i0z = jnp.floor(iz)
         fz = iz - i0z
         gt = g_ref[:]
-        t2 = _expand_cols(Ax, gt, W)            # (T, WC)
-        if bf16_mm:
-            t2 = t2.astype(jnp.bfloat16)
-            Ay = Ay.astype(jnp.bfloat16)
+        mdt = jnp.bfloat16 if bf16_mm else f32
+        t2 = _expand_cols_mxu(Ax.astype(mdt), gt.astype(mdt), W,
+                              f32).astype(mdt)  # (T, WC)
+        Ay = Ay.astype(mdt)
 
         @pl.when(t == 0)
         def _init():
@@ -139,9 +166,8 @@ def grid_dg_slab(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
                        .astype(f32) + z0)
                 Azg = (jnp.where(idx == i0z, 1.0 - fz, 0.0)
                        + jnp.where(idx == i0z + 1.0, fz, 0.0))
-                if bf16_mm:
-                    Azg = Azg.astype(jnp.bfloat16)
-                t1 = _expand_cols(Azg, Ay, 4)   # (T, 4H)
+                t1 = _expand_cols_mxu(Azg.astype(mdt), Ay, 4,
+                                      f32).astype(mdt)   # (T, 4H)
                 contrib = jax.lax.dot_general(
                     t1, t2, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32,
@@ -201,11 +227,11 @@ def grid_bwd_fused(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
         gt = g_ref[:]
 
         # ---- dG: acc[(z,y),(x,c)] += t1^T @ t2 --------------------------
-        t1 = _expand_cols(Az, Ay, D)            # (T, DH)
-        t2 = _expand_cols(Ax, gt, W)            # (T, WC)
-        if bf16_mm:
-            t1 = t1.astype(jnp.bfloat16)
-            t2 = t2.astype(jnp.bfloat16)
+        mdt = jnp.bfloat16 if bf16_mm else f32
+        t1 = _expand_cols_mxu(Az.astype(mdt), Ay.astype(mdt), D,
+                              f32).astype(mdt)  # (T, DH)
+        t2 = _expand_cols_mxu(Ax.astype(mdt), gt.astype(mdt), W,
+                              f32).astype(mdt)  # (T, WC)
         contrib = jax.lax.dot_general(
             t1, t2, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
