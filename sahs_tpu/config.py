@@ -210,12 +210,13 @@ class RuntimeConfig:
     # TPU execution knobs (new)
     use_pallas: bool = True
     # with use_pallas: volume-composite inside the NeRF kernel (per-ray
-    # outputs). Measured on v5e (BENCH_NOTES r3): the fused TRAIN step is
-    # 64.2 vs 63.8 ms unfused — the bwd kernel's head+composite recompute
-    # costs slightly more than the XLA (R,S,C) chain it replaces — so the
-    # default is OFF (flip per-config to ablate; eval_bench measures the
-    # fwd-only case).
-    fuse_composite: bool = False
+    # outputs). Measured on v5e (BENCH_NOTES r4): with the grid-coupled
+    # kernels the fused TRAIN step is 45.0 vs 49.9 ms unfused (r3's 0.4 ms
+    # loss flipped to a 4.9 ms win once the corner interp moved in-kernel
+    # and fine z-sorting made the slab-dG tiles depth-coherent), so the
+    # default is ON. The unfused path stays as the deformation-reuse /
+    # odd-sample-count fallback.
+    fuse_composite: bool = True
     # Training compute dtype. bf16 is the default so the shipped trainer IS
     # the benchmarked configuration (PARITY_TPU.json certifies bf16 kernel
     # parity: out 6.4e-3 / grad cosine 0.99996 vs the f32 oracle); switch to

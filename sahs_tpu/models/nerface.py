@@ -241,7 +241,10 @@ def make_render_fns(params: Params, spec: ModelSpec,
     driving = compute_driving(params, spec, driving_or_audio)
     pose_enc = encode_pose(pose)
 
-    pallas_ok = (use_pallas and spec.use_viewdirs and latent_code is None)
+    # Latent codes are per-frame constants, folded into effective biases
+    # exactly like driving/pose (trunk input order [pe, latent?, driving?,
+    # pose?], fields.py:292) — so they ride the Pallas fast path too.
+    pallas_ok = (use_pallas and spec.use_viewdirs)
     if not pallas_ok:
         def field_fn(level, pts_flat, dirs_ray, samples):
             dirs_flat = None
@@ -364,6 +367,8 @@ def make_render_fns(params: Params, spec: ModelSpec,
     def nerf_cond(level, dtype):
         nerf_spec: NeRFSpec = getattr(spec, level)
         cond_parts = []
+        if latent_code is not None and nerf_spec.latent_code_dim > 0:
+            cond_parts.append(latent_code)
         if nerf_spec.include_driving:
             cond_parts.append(driving)
         if nerf_spec.use_pose:

@@ -498,3 +498,44 @@ def test_grid_dg_slab_matches_autodiff():
                              compute_dtype="float32")
     np.testing.assert_allclose(np.asarray(dg_sorted), np.asarray(dg_ref),
                                atol=1e-4)
+
+
+def test_pallas_latent_code_path_matches_oracle():
+    """Latent codes ride the Pallas fast path: folded into effective biases
+    like driving/pose (reference trunk input [pe, latent, driving, pose],
+    models.py:275,294). Forward + gradient parity incl. d(latent)."""
+    from sahs_tpu.models.nerface import (apply_field, make_render_fns)
+
+    cfg = Config()
+    cfg.models.mask.latent_code_dim = 32
+    spec = ModelSpec.from_config(cfg)
+    params = init_model_params(jax.random.PRNGKey(3), spec)
+    rng = np.random.RandomState(5)
+    S, R = 8, 16
+    P = R * S
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (P, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    audio = jnp.asarray(rng.randn(16, 29).astype(np.float32))
+    pose = jnp.asarray(np.concatenate(
+        [np.linalg.qr(rng.randn(3, 3))[0],
+         np.array([[0], [0], [0.6]])], 1).astype(np.float32))
+    latent = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
+
+    def pallas_out(lat):
+        fns = make_render_fns(params, spec, audio, pose, latent_code=lat,
+                              use_pallas=True, compute_dtype="float32")
+        return fns.field_fn("fine", pts, dirs, S)
+
+    def oracle_out(lat):
+        dirs_flat = jnp.broadcast_to(
+            dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+        return apply_field(params, spec, "fine", pts, dirs_flat, audio,
+                           pose, latent_code=lat)
+
+    np.testing.assert_allclose(np.asarray(pallas_out(latent)),
+                               np.asarray(oracle_out(latent)),
+                               atol=2e-4, rtol=1e-3)
+    dl_p = jax.grad(lambda l: jnp.sum(jnp.sin(pallas_out(l))))(latent)
+    dl_o = jax.grad(lambda l: jnp.sum(jnp.sin(oracle_out(l))))(latent)
+    np.testing.assert_allclose(np.asarray(dl_p), np.asarray(dl_o),
+                               atol=2e-4, rtol=1e-3)

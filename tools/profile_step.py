@@ -98,6 +98,15 @@ def main():
             return st
         time_scan("full", body, state, batch)
 
+    if "full_fuse" in variants:
+        cfg_f = make_cfg(fuse_composite=True)
+        ts_f = TrainSettings.from_config(cfg_f)
+
+        def body_f(st, b, k):
+            st, _ = train_step(st, b, k, spec, ts_f, optimizer)
+            return st
+        time_scan("full_fuse", body_f, state, batch)
+
     if "full_nofuse" in variants:
         cfg_nf = make_cfg(fuse_composite=False)
         ts_nf = TrainSettings.from_config(cfg_nf)
