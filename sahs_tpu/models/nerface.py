@@ -340,7 +340,8 @@ def make_render_fns(params: Params, spec: ModelSpec,
                  spec.hyper.skip_connect_every,
                  spec.hyper.ambient_coord_dim, "linear"),
                 pts_flat, deform_cond(spec.warp),
-                compute_dtype=compute_dtype, pe_spec=warp_pe)
+                compute_dtype=compute_dtype, pe_spec=warp_pe,
+                need_input_grad=False)
             warped = packed
             pts_raw = packed
         else:

@@ -436,9 +436,12 @@ def _mmT(a, gz, dtype):
         preferred_element_type=jnp.float32, precision=prec)
 
 
-def _trunk_backward(spec: TrunkSpec, x, ws, bs, acts, ga):
+def _trunk_backward(spec: TrunkSpec, x, ws, bs, acts, ga,
+                    need_gx: bool = True):
     """Backprop through the trunk given d(final hidden) = ga.
-    Returns (gx, dws, dbs) where dws mirrors ws structure."""
+    Returns (gx, dws, dbs) where dws mirrors ws structure. need_gx=False
+    skips the input-cotangent matmuls (layer-0 and skip-layer wx chains) —
+    the inter-layer ga chain is still fully computed for the dW terms."""
     cdt = jnp.dtype(spec.compute_dtype)
     dact = _dact_from_out(spec.act)
     dws: List = [None] * len(ws)
@@ -450,12 +453,14 @@ def _trunk_backward(spec: TrunkSpec, x, ws, bs, acts, ga):
         if i == spec.skip_every and i > 0:
             wh, wx = ws[i]
             dws[i] = (_mm(a_prev.T, gz, cdt), _mm(x.T, gz, cdt))
-            gx = gx + _mm(gz, wx.T, cdt)
+            if need_gx:
+                gx = gx + _mm(gz, wx.T, cdt)
             ga = _mm(gz, wh.T, cdt)
         else:
             dws[i] = _mm(a_prev.T, gz, cdt)
             if i == 0:
-                gx = gx + _mm(gz, ws[0].T, cdt)
+                if need_gx:
+                    gx = gx + _mm(gz, ws[0].T, cdt)
             else:
                 ga = _mm(gz, ws[i].T, cdt)
         dbs[i] = jnp.sum(gz, axis=0, keepdims=True)
@@ -743,7 +748,8 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
 
 def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                     w_trunk, w_out, h_trunk, h_out, g: jnp.ndarray,
-                    pe_spec: "PESpec", wo_dim: int, ho_dim: int):
+                    pe_spec: "PESpec", wo_dim: int, ho_dim: int,
+                    need_gx: bool = True):
     """Backward of deform_pair_forward; g is (P, 128) in the packed output
     layout [warped | ambient]. Shares ONE PE recompute and ONE PE backward
     between the two trunks; the +x residual contributes g's warped block to
@@ -788,7 +794,8 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
             dwo = _mmT(h, gz, cdt)
             dbo = jnp.sum(gz, axis=0, keepdims=True)
             ga = _mm(gz, wo_.T, cdt)
-            gx, dws, dbs = _trunk_backward(spec, pe, ws_, bs_, acts, ga)
+            gx, dws, dbs = _trunk_backward(spec, pe, ws_, bs_, acts, ga,
+                                           need_gx=need_gx)
             grads = []
             for i in range(spec.num_layers):
                 if i == spec.skip_every and i > 0:
@@ -801,13 +808,16 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
 
         gpe_w, grads_w = back(wspec, ws, bs, wo, bo, g_w)
         gpe_h, grads_h = back(hspec, hw, hb, hwo, hbo, g_h)
-        gx = _pe_bwd(x_raw, gpe_w + gpe_h, pe_refs)
-        # +x residual of the warped coords
-        gx = gx + jnp.concatenate(
-            [g_t[:, :wo_dim],
-             jnp.zeros((g_t.shape[0], gx.shape[1] - wo_dim), gx.dtype)],
-            axis=-1)
-        gx_ref[:] = gx.astype(gx_ref.dtype)
+        if need_gx:
+            gx = _pe_bwd(x_raw, gpe_w + gpe_h, pe_refs)
+            # +x residual of the warped coords
+            gx = gx + jnp.concatenate(
+                [g_t[:, :wo_dim],
+                 jnp.zeros((g_t.shape[0], gx.shape[1] - wo_dim), gx.dtype)],
+                axis=-1)
+            gx_ref[:] = gx.astype(gx_ref.dtype)
+        else:
+            gx_ref[:] = jnp.zeros(gx_ref.shape, gx_ref.dtype)
         _accumulate(dw_refs, grads_w + grads_h, pl.program_id(0) == 0)
 
     out_shapes = ([jax.ShapeDtypeStruct((Pp, in_width), x.dtype)]
@@ -863,8 +873,8 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     return gx, wt_g, wo_g, ht_g, ho_g
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
                        params_w, params_h, x_raw, cond):
     """wp/hp: (num_layers, hidden, skip_every, out_dim, out_act) static
     tuples. Returns packed (P, 128) [x + warp | hyper ambient | zeros]."""
@@ -877,14 +887,15 @@ def _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim,
                                ht, params_h["out"], pe_spec, wp[3], hp[3])
 
 
-def _deform_pair_fwd(wp, hp, compute_dtype, pe_spec, pe_dim,
+def _deform_pair_fwd(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
                      params_w, params_h, x_raw, cond):
-    y = _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim,
+    y = _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
                            params_w, params_h, x_raw, cond)
     return y, (params_w, params_h, x_raw, cond)
 
 
-def _deform_pair_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, res, g):
+def _deform_pair_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
+                     res, g):
     params_w, params_h, x_raw, cond = res
     wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
     wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
@@ -893,7 +904,7 @@ def _deform_pair_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, res, g):
     ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
     gx, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
         wspec, hspec, x_raw, wt, params_w["out"], ht, params_h["out"], g,
-        pe_spec, wp[3], hp[3])
+        pe_spec, wp[3], hp[3], need_gx=need_gx)
     wt_grads, dcond_w = _unfold_cond_grads(params_w["trunk"], wt_g, cond,
                                            wp[2], wp[1], pe_dim)
     ht_grads, dcond_h = _unfold_cond_grads(params_h["trunk"], ht_g, cond,
@@ -908,15 +919,21 @@ _deform_pair_fused.defvjp(_deform_pair_fwd, _deform_pair_bwd)
 
 def deform_pair_apply_fused(params_w, params_h, wp, hp, x_raw: jnp.ndarray,
                             cond: jnp.ndarray, compute_dtype: str,
-                            pe_spec: PESpec) -> jnp.ndarray:
+                            pe_spec: PESpec,
+                            need_input_grad: bool = True) -> jnp.ndarray:
     """Fused warp+hyper evaluation sharing one in-kernel PE pass.
     wp/hp: (num_layers, hidden, skip_every, out_dim, out_act). Returns the
     packed (P, 128) canonical hyper-points [x + warp(x) @0:wo | ambient
     @wo:wo+ho | zeros] — directly consumable as the NeRF kernel's packed
-    raw input and the grid sampler's coordinate block."""
+    raw input and the grid sampler's coordinate block.
+
+    need_input_grad=False skips the d(x_raw) cotangent in the backward
+    (returns zeros for it): sample points are camera-ray + z-value derived
+    in every pipeline path, so nothing upstream is trainable and the
+    input-layer dX chain + PE backward are structurally dead compute."""
     return _deform_pair_fused(tuple(wp), tuple(hp), compute_dtype, pe_spec,
-                              pe_spec.raw_out, params_w, params_h, x_raw,
-                              cond)
+                              pe_spec.raw_out, bool(need_input_grad),
+                              params_w, params_h, x_raw, cond)
 
 
 def _nerf_spec_of(num_layers, skip_every, pe_dim, extra_dim, compute_dtype,
