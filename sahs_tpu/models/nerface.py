@@ -429,42 +429,26 @@ def make_render_fns(params: Params, spec: ModelSpec,
     def field_fn(level, pts_flat, dirs_ray, samples):
         return nerf_fn(level, front_half(pts_flat), dirs_ray, samples)
 
-    def level_fn(level, ray_origins, dirs_ray, samples, z, bg, noise):
+    def level_fn(level, pts_flat, dirs_ray, samples, z, bg, noise):
         """Fully-fused level: deformation pair -> grid sample -> NeRF MLP
         with in-kernel volume compositing (per-RAY outputs; no (P,128) raw
-        round-trip, no XLA (R,S,C) compositing chain). Takes the RAY data
-        (origins, directions, z) — per-point positions are built inside
-        the pair kernel (rays mode) when the pair path is available."""
+        round-trip, no XLA (R,S,C) compositing chain)."""
         nerf_spec: NeRFSpec = getattr(spec, level)
-        if pair_ok:
-            from ..ops.pallas.field_mlp import deform_pair_apply_rays
-            pts_raw = deform_pair_apply_rays(
-                params["warp"], params["hyper"],
-                (spec.warp.num_layers, spec.warp.hidden_size,
-                 spec.warp.skip_connect_every, 3, "tanh"),
-                (spec.hyper.num_layers, spec.hyper.hidden_size,
-                 spec.hyper.skip_connect_every,
-                 spec.hyper.ambient_coord_dim, "linear"),
-                ray_origins, dirs_ray, z, samples, deform_cond(spec.warp),
-                compute_dtype=compute_dtype, pe_spec=warp_pe)
-        else:
-            pts_flat = (ray_origins[:, None, :]
-                        + dirs_ray[:, None, :] * z[..., None]).reshape(-1, 3)
-            pts_raw, _ = front_half(pts_flat)
+        pts_raw, _ = front_half(pts_flat)
         if use_grid:
             from ..ops.pallas.field_grid import nerf_render_level_grid
             return nerf_render_level_grid(
                 params[level], params["spatial_embeddings"],
                 nerf_spec.num_layers, nerf_spec.skip_connect_every,
                 pts_raw, dirs_ray, samples, z, bg, noise,
-                nerf_cond(level, z.dtype),
+                nerf_cond(level, pts_flat.dtype),
                 compute_dtype=compute_dtype,
                 pe_spec=pts_pe, dir_pe_spec=dir_pe)
         from ..ops.pallas.field_mlp import nerf_render_level
         return nerf_render_level(
             params[level], nerf_spec.num_layers, nerf_spec.skip_connect_every,
             pts_raw, dirs_ray, None, samples, z, bg, noise,
-            nerf_cond(level, z.dtype), compute_dtype=compute_dtype,
+            nerf_cond(level, pts_flat.dtype), compute_dtype=compute_dtype,
             pe_spec=pts_pe, dir_pe_spec=dir_pe)
 
     return RenderFns(field_fn, level_fn, front_half, nerf_fn)

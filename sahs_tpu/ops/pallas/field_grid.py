@@ -33,29 +33,13 @@ from .field_mlp import (PESpec, _rayd_spec_of, fold_conditioning,
 from .grid_bwd import grid_dg_slab
 
 
-import os
-
-_PACK_GATHER = os.environ.get("SAHS_PACK_GATHER", "1") == "1"
-
-
 def gather_corners(grid: jnp.ndarray, coords: jnp.ndarray,
                    compute_dtype: str) -> jnp.ndarray:
     """(C, D, H, W) grid + (P, >=3) warped coords -> (P, 8C) packed corner
-    rows (ops/grid.py corner-packed layout; bf16 gather in bf16 mode).
-
-    bf16 rows are gathered as f32 LANE PAIRS (bitcast, no value change):
-    XLA's TPU gather cost scales with element count, so halving the lanes
-    halves the gather time; the bitcast back is free layout math."""
+    rows (ops/grid.py corner-packed layout; bf16 gather in bf16 mode)."""
     gdt = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     table = pack_corner_table(grid, gather_dtype=gdt)
     rows, _, _ = _cell_geometry(coords, grid.shape[1:])
-    if gdt is not None and _PACK_GATHER and table.shape[1] % 2 == 0:
-        N, L = table.shape
-        packed = jax.lax.bitcast_convert_type(
-            table.reshape(N, L // 2, 2), jnp.float32)
-        out = jnp.take(packed, rows, axis=0)
-        return jax.lax.bitcast_convert_type(out, jnp.bfloat16).reshape(
-            rows.shape[0], L)
     return jnp.take(table, rows, axis=0)
 
 
@@ -182,25 +166,16 @@ def _nerf_level_grid_fwd(num_layers, skip_every, pe_dim, samples,
                               params)
     p2 = _fold(params, cond, pe_dim, skip_every, hidden)
     corners = gather_corners(grid, pts_raw, compute_dtype)
-    from .field_mlp import _PE_STASH
-    if _PE_STASH:
-        rgb_map, weights, xt = nerf_level_forward(
-            spec, pts_raw, dirs_ray, corners, z, bg, noise, p2, pe_spec,
-            dir_pe_spec, want_stash=True)
-    else:
-        rgb_map, weights = nerf_level_forward(
-            spec, pts_raw, dirs_ray, corners, z, bg, noise, p2, pe_spec,
-            dir_pe_spec)
-        xt = None
-    return (rgb_map, weights), (params, pts_raw, dirs_ray, z, bg, noise,
-                                cond, corners, xt)
+    y = nerf_level_forward(spec, pts_raw, dirs_ray, corners, z, bg, noise,
+                           p2, pe_spec, dir_pe_spec)
+    return y, (params, pts_raw, dirs_ray, z, bg, noise, cond, corners)
 
 
 def _nerf_level_grid_bwd(num_layers, skip_every, pe_dim, samples,
                          compute_dtype, pe_spec, dir_pe_spec, grid_shape,
                          res, gs):
     from .field_mlp import _unfold_cond_grads
-    params, pts_raw, dirs_ray, z, bg, noise, cond, corners, xt = res
+    params, pts_raw, dirs_ray, z, bg, noise, cond, corners = res
     g_rgb, g_w = gs
     spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
                               compute_dtype, dir_pe_spec.raw_out, grid_shape,
@@ -208,7 +183,7 @@ def _nerf_level_grid_bwd(num_layers, skip_every, pe_dim, samples,
     p2 = _fold(params, cond, pe_dim, skip_every, hidden)
     gx, gse, g_bg, grads_folded = nerf_level_vjp(
         spec, pts_raw, dirs_ray, corners, z, bg, noise, p2, g_rgb, g_w,
-        pe_spec, dir_pe_spec, xt_stash=xt)
+        pe_spec, dir_pe_spec)
     trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
                                             grads_folded["trunk"], cond,
                                             skip_every, hidden, pe_dim)

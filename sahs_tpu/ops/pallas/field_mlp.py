@@ -413,10 +413,6 @@ _BWD_NO_DWREFS = os.environ.get("SAHS_BWD_NO_DWREFS", "0") == "1"
 # SAHS_BWD_NO_VMEMLIM=1 drops the vmem_limit_bytes compiler param.
 _BWD_NO_VMEMLIM = os.environ.get("SAHS_BWD_NO_VMEMLIM", "0") == "1"
 
-# SAHS_PE_STASH=0: bwd kernels recompute the PE instead of re-reading the
-# fwd-stashed block (ablation switch).
-_PE_STASH = os.environ.get("SAHS_PE_STASH", "1") == "1"
-
 BWD_TILE = int(os.environ.get("SAHS_BWD_TILE", "1024"))
                  # bwd holds weights + dW accumulators + per-tile activations
                  # in VMEM (~25 MB; vmem_limit_bytes raised on the bwd
@@ -691,32 +687,10 @@ def _pair_specs(wp, hp, pe_dim, compute_dtype):
     return ws, hs
 
 
-def _pts_from_rays_tile(o_blk, d_blk, z_blk, S: int, tile: int, in_width):
-    """In-kernel per-point positions from per-ray data: (G, 8) origins and
-    directions + (G, S) z -> (tile, in_width) [o + d*z | zeros]. The 0/1
-    expand/sel dots run at HIGHEST precision (tiny shapes; exact copy of
-    f32 ray data)."""
-    f32 = jnp.float32
-    G = tile // S
-    expand = _ray_expand(tile, S, f32)
-    hp = jax.lax.Precision.HIGHEST
-    o_pt = jnp.dot(expand, o_blk[:, :in_width].astype(f32),
-                   preferred_element_type=f32, precision=hp)
-    d_pt = jnp.dot(expand, d_blk[:, :in_width].astype(f32),
-                   preferred_element_type=f32, precision=hp)
-    zfull = jnp.dot(expand, z_blk.astype(f32),
-                    preferred_element_type=f32, precision=hp)   # (tile, S)
-    sel = _sel_matrix(tile, S, f32)
-    z_pt = jnp.sum(zfull * sel, axis=-1, keepdims=True)
-    # padded o/d columns are zero -> 0 + 0*z = 0, matching zero-padded pts
-    return o_pt + d_pt * z_pt
-
-
 def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                         w_trunk, w_out, h_trunk, h_out,
                         pe_spec: "PESpec", wo_dim: int,
-                        ho_dim: int, want_pe_stash: bool = False,
-                        rays=None):
+                        ho_dim: int) -> jnp.ndarray:
     """Both deformation MLPs on the SAME in-kernel PE of the packed raw
     coords. Returns (P, 128) packed canonical hyper-points:
     cols [0:wo_dim] = x + warp(x) (the warped coords — the +x residual is
@@ -725,52 +699,23 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     input and the grid sampler's coordinate block, so no XLA concat/pad
     ever materializes between the kernels (a (P, small) f32 array is
     lane-padded to 128 in HBM — every glue op on one costs ~134 MB)."""
+    P = x.shape[0]
+    Pp = _rup(P, TILE)
     in_width = pe_spec.in_width
-    if rays is None:
-        P = x.shape[0]
-        Pp = _rup(P, TILE)
-        xp = jnp.pad(x, ((0, Pp - P), (0, in_width - x.shape[1])))
-        pt_in = [xp]
-        out_dtype = x.dtype
-        S = 0
-    else:
-        # points built IN-kernel from per-ray origin/direction + z: the
-        # (P, in_width) position array never exists in HBM
-        o, d, z, S = rays
-        assert TILE % S == 0
-        R = d.shape[0]
-        P = R * S
-        Pp = _rup(P, TILE)
-        Rp = Pp // S
-        op = jnp.pad(o.astype(jnp.float32), ((0, Rp - R), (0, 8 - o.shape[1])))
-        dp = jnp.pad(d.astype(jnp.float32), ((0, Rp - R), (0, 8 - d.shape[1])))
-        zp = jnp.pad(z.astype(jnp.float32), ((0, Rp - R), (0, 0)))
-        pt_in = [op, dp, zp]
-        out_dtype = jnp.float32
+    xp = jnp.pad(x, ((0, Pp - P), (0, in_width - x.shape[1])))
     w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
     h_flat = _flatten_trunk_weights(hspec, h_trunk, h_out)
     n_w, n_h = len(w_flat), len(h_flat)
     pe_in = _pe_input_arrays(pe_spec)
     cdt = jnp.dtype(wspec.compute_dtype)
-    n_pt = len(pt_in)
 
-    pe_w = pe_spec.out_width
-
-    def kernel(*allrefs):
-        pt_refs = allrefs[:n_pt]
-        refs = allrefs[n_pt:]
+    def kernel(x_ref, *refs):
         w_refs = refs[:n_w]
         h_refs = refs[n_w:n_w + n_h]
         pe_refs = refs[n_w + n_h:n_w + n_h + len(pe_in)]
         o_ref = refs[n_w + n_h + len(pe_in)]
-        if rays is None:
-            x_raw = pt_refs[0][:]
-        else:
-            x_raw = _pts_from_rays_tile(pt_refs[0][:], pt_refs[1][:],
-                                        pt_refs[2][:], S, TILE, in_width)
+        x_raw = x_ref[:]
         pe = _pe_apply(x_raw, pe_refs).astype(cdt)
-        if want_pe_stash:
-            refs[n_w + n_h + len(pe_in) + 1][:] = pe
         ws, bs, wo, bo = _unflatten_trunk_weights(wspec, [r[:] for r in w_refs])
         hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, [r[:] for r in h_refs])
         hid_w = _trunk_forward(wspec, pe, ws, bs)
@@ -784,67 +729,37 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                        warped.dtype)], axis=-1)
         o_ref[:] = out.astype(o_ref.dtype)
 
-    if rays is None:
-        pt_specs = [pl.BlockSpec((TILE, in_width), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
-    else:
-        G = TILE // S
-        pt_specs = [pl.BlockSpec((G, 8), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((G, 8), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((G, S), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
     flat = w_flat + h_flat
-    out_specs = [pl.BlockSpec((TILE, 128), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((Pp, 128), out_dtype)]
-    if want_pe_stash:
-        # the fwd-computed PE block, re-consumed by the bwd kernel instead
-        # of a dot+sin recompute (identical values: the bwd used the same
-        # compute-dtype cast anyway)
-        out_specs.append(pl.BlockSpec((TILE, pe_w), lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((Pp, pe_w), cdt))
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(Pp // TILE,),
-        in_specs=pt_specs
+        in_specs=[pl.BlockSpec((TILE, in_width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
                  + _pe_block_specs(pe_spec),
-        out_specs=out_specs if want_pe_stash else out_specs[0],
-        out_shape=out_shapes if want_pe_stash else out_shapes[0],
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, 128), x.dtype),
         interpret=_interpret(),
-    )(*pt_in, *flat, *pe_in)
-    if want_pe_stash:
-        return outs[0][:P], outs[1]
-    return outs[:P]
+    )(xp, *flat, *pe_in)
+    return out[:P]
 
 
 def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                     w_trunk, w_out, h_trunk, h_out, g: jnp.ndarray,
                     pe_spec: "PESpec", wo_dim: int, ho_dim: int,
-                    need_gx: bool = True, pe_stash=None):
+                    need_gx: bool = True):
     """Backward of deform_pair_forward; g is (P, 128) in the packed output
     layout [warped | ambient]. Shares ONE PE recompute and ONE PE backward
     between the two trunks; the +x residual contributes g's warped block to
     gx directly. Returns (gx, w_trunk_grads, w_out_grads, h_trunk_grads,
-    h_out_grads); gx is None when ``x`` is None (rays mode: the input
-    cotangent is structurally dead AND the PE comes from the stash, so the
-    per-point position array is not even read)."""
-    has_x = x is not None
-    if not has_x:
-        assert pe_stash is not None and not need_gx
-        P = g.shape[0]
-    else:
-        P = x.shape[0]
+    h_out_grads)."""
+    P = x.shape[0]
     Pp = _rup(P, BWD_TILE)
+    raw_in = x.shape[1]
     in_width = pe_spec.in_width
-    x_in = []
-    if has_x:
-        raw_in = x.shape[1]
-        x_in = [jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))]
+    xp = jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))
     gp = jnp.pad(g, ((0, Pp - P), (0, 0)))
     w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
     h_flat = _flatten_trunk_weights(hspec, h_trunk, h_out)
@@ -854,29 +769,17 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     n_pe = len(pe_in)
     n_grid = Pp // BWD_TILE
     cdt = jnp.dtype(wspec.compute_dtype)
-    n_x = len(x_in)
 
-    n_stash = 1 if pe_stash is not None else 0
-    if pe_stash is not None and pe_stash.shape[0] != Pp:
-        pe_stash = jnp.pad(pe_stash,
-                           ((0, Pp - pe_stash.shape[0]), (0, 0)))
-
-    def kernel(*allrefs):
-        x_refs = allrefs[:n_x]
-        g_ref = allrefs[n_x]
-        refs = allrefs[n_x + 1:]
-        stash_refs = refs[:n_stash]
-        refs = refs[n_stash:]
+    def kernel(x_ref, g_ref, *refs):
         w_refs = refs[:n_w]
         h_refs = refs[n_w:n_w + n_h]
         pe_refs = refs[n_w + n_h:n_w + n_h + n_pe]
-        at = n_w + n_h + n_pe
-        gx_ref = refs[at] if has_x else None
-        dw_refs = refs[at + (1 if has_x else 0):]
+        gx_ref = refs[n_w + n_h + n_pe]
+        dw_refs = refs[n_w + n_h + n_pe + 1:]
         ws, bs, wo, bo = _unflatten_trunk_weights(wspec, [r[:] for r in w_refs])
         hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, [r[:] for r in h_refs])
-        x_raw = x_refs[0][:] if has_x else None
-        pe = stash_refs[0][:] if n_stash else _pe_apply(x_raw, pe_refs)
+        x_raw = x_ref[:]
+        pe = _pe_apply(x_raw, pe_refs)
         g_t = g_ref[:]
         g_w = jnp.concatenate(
             [g_t[:, :wo_dim], jnp.zeros_like(g_t[:, :128 - wo_dim])], axis=-1)
@@ -905,41 +808,31 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
 
         gpe_w, grads_w = back(wspec, ws, bs, wo, bo, g_w)
         gpe_h, grads_h = back(hspec, hw, hb, hwo, hbo, g_h)
-        if has_x:
-            if need_gx:
-                gx = _pe_bwd(x_raw, gpe_w + gpe_h, pe_refs)
-                # +x residual of the warped coords
-                gx = gx + jnp.concatenate(
-                    [g_t[:, :wo_dim],
-                     jnp.zeros((g_t.shape[0], gx.shape[1] - wo_dim),
-                               gx.dtype)], axis=-1)
-                gx_ref[:] = gx.astype(gx_ref.dtype)
-            else:
-                gx_ref[:] = jnp.zeros(gx_ref.shape, gx_ref.dtype)
+        if need_gx:
+            gx = _pe_bwd(x_raw, gpe_w + gpe_h, pe_refs)
+            # +x residual of the warped coords
+            gx = gx + jnp.concatenate(
+                [g_t[:, :wo_dim],
+                 jnp.zeros((g_t.shape[0], gx.shape[1] - wo_dim), gx.dtype)],
+                axis=-1)
+            gx_ref[:] = gx.astype(gx_ref.dtype)
+        else:
+            gx_ref[:] = jnp.zeros(gx_ref.shape, gx_ref.dtype)
         _accumulate(dw_refs, grads_w + grads_h, pl.program_id(0) == 0)
 
-    out_shapes = [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat]
-    out_specs = [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
-                              memory_space=pltpu.VMEM) for f in flat]
-    if has_x:
-        out_shapes = [jax.ShapeDtypeStruct((Pp, in_width), x.dtype)] \
-            + out_shapes
-        out_specs = [pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)] + out_specs
-    x_specs = ([pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)] if has_x else [])
-    stash_in = [] if pe_stash is None else [pe_stash]
-    stash_specs = ([] if pe_stash is None else
-                   [pl.BlockSpec((BWD_TILE, pe_stash.shape[1]),
-                                 lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)])
+    out_shapes = ([jax.ShapeDtypeStruct((Pp, in_width), x.dtype)]
+                  + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
+    out_specs = ([pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                 memory_space=pltpu.VMEM) for f in flat])
     outs = pl.pallas_call(
         kernel,
         grid=(n_grid,),
-        in_specs=x_specs
-                 + [pl.BlockSpec((BWD_TILE, 128), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
-                 + stash_specs
+        in_specs=[pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BWD_TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
                  + _pe_block_specs(pe_spec),
@@ -948,14 +841,10 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(*x_in, gp, *stash_in, *flat, *pe_in)
+    )(xp, gp, *flat, *pe_in)
 
-    if has_x:
-        gx = outs[0][:P, :raw_in]
-        flat_grads = list(outs[1:])
-    else:
-        gx = None
-        flat_grads = list(outs)
+    gx = outs[0][:P, :raw_in]
+    flat_grads = list(outs[1:])
 
     def unpack(spec, trunk_params, out_params, it):
         trunk_grads = []
@@ -1000,26 +889,14 @@ def _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
 
 def _deform_pair_fwd(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
                      params_w, params_h, x_raw, cond):
-    wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
-    wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
-    wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
-    ht = fold_conditioning(params_h["trunk"], cond, pe_dim)
-    ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
-    if _PE_STASH:
-        y, pe_stash = deform_pair_forward(
-            wspec, hspec, x_raw, wt, params_w["out"], ht, params_h["out"],
-            pe_spec, wp[3], hp[3], want_pe_stash=True)
-    else:
-        y = deform_pair_forward(
-            wspec, hspec, x_raw, wt, params_w["out"], ht, params_h["out"],
-            pe_spec, wp[3], hp[3])
-        pe_stash = None
-    return y, (params_w, params_h, x_raw, cond, pe_stash)
+    y = _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
+                           params_w, params_h, x_raw, cond)
+    return y, (params_w, params_h, x_raw, cond)
 
 
 def _deform_pair_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
                      res, g):
-    params_w, params_h, x_raw, cond, pe_stash = res
+    params_w, params_h, x_raw, cond = res
     wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
     wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
     wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
@@ -1027,7 +904,7 @@ def _deform_pair_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
     ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
     gx, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
         wspec, hspec, x_raw, wt, params_w["out"], ht, params_h["out"], g,
-        pe_spec, wp[3], hp[3], need_gx=need_gx, pe_stash=pe_stash)
+        pe_spec, wp[3], hp[3], need_gx=need_gx)
     wt_grads, dcond_w = _unfold_cond_grads(params_w["trunk"], wt_g, cond,
                                            wp[2], wp[1], pe_dim)
     ht_grads, dcond_h = _unfold_cond_grads(params_h["trunk"], ht_g, cond,
@@ -1038,70 +915,6 @@ def _deform_pair_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
 
 
 _deform_pair_fused.defvjp(_deform_pair_fwd, _deform_pair_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _deform_pair_rays_fused(wp, hp, compute_dtype, pe_spec, pe_dim, S,
-                            params_w, params_h, o, d, z, cond):
-    """Rays-mode pair: per-point positions o + d*z built IN-kernel; the
-    (P, in_width) position array never exists. o/d (R,3), z (R,S) carry no
-    cotangent (camera data / detached z)."""
-    wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
-    wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
-    wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
-    ht = fold_conditioning(params_h["trunk"], cond, pe_dim)
-    ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
-    return deform_pair_forward(wspec, hspec, None, wt, params_w["out"],
-                               ht, params_h["out"], pe_spec, wp[3], hp[3],
-                               rays=(o, d, z, S))
-
-
-def _deform_pair_rays_fwd(wp, hp, compute_dtype, pe_spec, pe_dim, S,
-                          params_w, params_h, o, d, z, cond):
-    wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
-    wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
-    wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
-    ht = fold_conditioning(params_h["trunk"], cond, pe_dim)
-    ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
-    y, pe_stash = deform_pair_forward(
-        wspec, hspec, None, wt, params_w["out"], ht, params_h["out"],
-        pe_spec, wp[3], hp[3], want_pe_stash=True, rays=(o, d, z, S))
-    return y, (params_w, params_h, o, d, z, cond, pe_stash)
-
-
-def _deform_pair_rays_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, S,
-                          res, g):
-    params_w, params_h, o, d, z, cond, pe_stash = res
-    wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
-    wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
-    wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
-    ht = fold_conditioning(params_h["trunk"], cond, pe_dim)
-    ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
-    _, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
-        wspec, hspec, None, wt, params_w["out"], ht, params_h["out"], g,
-        pe_spec, wp[3], hp[3], need_gx=False, pe_stash=pe_stash)
-    wt_grads, dcond_w = _unfold_cond_grads(params_w["trunk"], wt_g, cond,
-                                           wp[2], wp[1], pe_dim)
-    ht_grads, dcond_h = _unfold_cond_grads(params_h["trunk"], ht_g, cond,
-                                           hp[2], hp[1], pe_dim)
-    return ({"trunk": wt_grads, "out": wo_g},
-            {"trunk": ht_grads, "out": ho_g},
-            jnp.zeros_like(o), jnp.zeros_like(d), jnp.zeros_like(z),
-            dcond_w + dcond_h)
-
-
-_deform_pair_rays_fused.defvjp(_deform_pair_rays_fwd, _deform_pair_rays_bwd)
-
-
-def deform_pair_apply_rays(params_w, params_h, wp, hp, o, d, z,
-                           samples: int, cond: jnp.ndarray,
-                           compute_dtype: str, pe_spec: PESpec):
-    """Rays-mode fused warp+hyper pair: positions o + d*z built in-kernel
-    (ray-major point order, TILE %% samples == 0). Returns the packed
-    (R*samples, 128) canonical hyper-points."""
-    return _deform_pair_rays_fused(tuple(wp), tuple(hp), compute_dtype,
-                                   pe_spec, pe_spec.raw_out, int(samples),
-                                   params_w, params_h, o, d, z, cond)
 
 
 def deform_pair_apply_fused(params_w, params_h, wp, hp, x_raw: jnp.ndarray,
@@ -2416,14 +2229,12 @@ def _level_io(spec, pts_raw, dirs_ray, se, z, bg, noise, pe_spec,
 
 def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                        noise, params, pe_spec: PESpec,
-                       dir_pe_spec: PESpec, want_stash: bool = False):
+                       dir_pe_spec: PESpec):
     """NeRF MLP + volume compositing fused: per-RAY outputs.
     pts_raw (P, *) packed raw coords (P = R*S ray-major), dirs_ray (R, 3),
     se (P, se_dim) | None, z (R, S) depth values, bg (R, 15) raw prior |
     None, noise (R, S) sigma noise | None.
-    Returns (rgb_map (R, 16; cols 0:15 used), weights (R, S))
-    [+ the fwd PE block (Pp, pe_width) when want_stash — re-consumed by
-    the bwd kernel instead of a dot+sin recompute]."""
+    Returns (rgb_map (R, 16; cols 0:15 used), weights (R, S))."""
     has_bg = bg is not None
     has_noise = noise is not None
     exact = jnp.dtype(spec.compute_dtype) == jnp.float32
@@ -2458,8 +2269,6 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
         if xw_blk > xw:
             x_raw = x_raw[:, :xw]
         x_t = _pe_apply(x_raw, pe_refs).astype(cdt)
-        if want_stash:
-            refs[n_ex + n_se + n_flat + n_pe + n_dpe + 2][:] = x_t
         d_raw = d_ref[:]
         dir_pe = _pe_apply(d_raw, dpe_refs).astype(cdt)
         se_t = None
@@ -2494,17 +2303,6 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                                      memory_space=pltpu.VMEM))
     se_specs = ([pl.BlockSpec((TILE, se_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] if n_se else [])
-    out_specs = [pl.BlockSpec((G, 16), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((G, S), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)]
-    out_shapes = [jax.ShapeDtypeStruct((Rp, 16), jnp.float32),
-                  jax.ShapeDtypeStruct((Rp, S), jnp.float32)]
-    if want_stash:
-        out_specs.append(pl.BlockSpec((TILE, pe_spec.out_width),
-                                      lambda i: (i, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shapes.append(jax.ShapeDtypeStruct((Pp, pe_spec.out_width), cdt))
     outs = pl.pallas_call(
         kernel,
         grid=(Pp // TILE,),
@@ -2518,23 +2316,24 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
                  + _pe_block_specs(pe_spec) + _pe_block_specs(dir_pe_spec),
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        out_specs=[pl.BlockSpec((G, 16), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((G, S), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Rp, 16), jnp.float32),
+                   jax.ShapeDtypeStruct((Rp, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(xp, dp, zp, *extras, *se_in, *flat, *pe_in, *dpe_in)
-    if want_stash:
-        return outs[0][:R], outs[1][:R], outs[2]
     return outs[0][:R], outs[1][:R]
 
 
 def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
                    params, g_rgb, g_w, pe_spec: PESpec,
-                   dir_pe_spec: PESpec, xt_stash=None):
+                   dir_pe_spec: PESpec):
     """Backward of nerf_level_forward: per-ray cotangents g_rgb (R, 16)
-    and g_w (R, S) -> (gx, gse | None, g_bg | None, grads pytree).
-    xt_stash: the fwd kernel's PE block (skips the dot+sin recompute)."""
+    and g_w (R, S) -> (gx, gse | None, g_bg | None, grads pytree)."""
     has_bg = bg is not None
     has_noise = noise is not None
     exact = jnp.dtype(spec.compute_dtype) == jnp.float32
@@ -2563,14 +2362,7 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
     cdt = jnp.dtype(spec.compute_dtype)
     leakyd = _dact_from_out("leaky")
 
-    n_stash = 1 if xt_stash is not None else 0
-    if xt_stash is not None and xt_stash.shape[0] != Pp:
-        xt_stash = jnp.pad(xt_stash,
-                           ((0, Pp - xt_stash.shape[0]), (0, 0)))
-
     def kernel(x_ref, d_ref, z_ref, grgb_ref, gw_ref, *refs):
-        stash_refs = refs[:n_stash]
-        refs = refs[n_stash:]
         ex_refs = refs[:n_ex]
         se_refs = refs[n_ex:n_ex + n_se]
         w_refs = refs[n_ex + n_se:n_ex + n_se + n_flat]
@@ -2594,7 +2386,7 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         x_raw = x_ref[:]
         if xw_blk > xw:
             x_raw = x_raw[:, :xw]
-        x_t = stash_refs[0][:] if n_stash else _pe_apply(x_raw, pe_refs)
+        x_t = _pe_apply(x_raw, pe_refs)
         d_raw = d_ref[:]
         dir_pe = _pe_apply(d_raw, dpe_refs).astype(cdt)
         se_t = None
@@ -2747,11 +2539,6 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
     out_shapes += [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat]
     out_specs += [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                memory_space=pltpu.VMEM) for f in flat]
-    stash_in = [] if xt_stash is None else [xt_stash]
-    stash_specs = ([] if xt_stash is None else
-                   [pl.BlockSpec((BWD_TILE, xt_stash.shape[1]),
-                                 lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)])
     outs = pl.pallas_call(
         kernel,
         grid=(n_grid,),
@@ -2765,7 +2552,6 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((G, S), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
-                 + stash_specs
                  + ex_specs + se_specs
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
@@ -2775,8 +2561,7 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, dp, zp, grp, gwp, *stash_in, *extras, *se_in, *flat, *pe_in,
-      *dpe_in)
+    )(xp, dp, zp, grp, gwp, *extras, *se_in, *flat, *pe_in, *dpe_in)
 
     gx = outs[0][:P, :raw_in]
     k = 1
@@ -2852,29 +2637,15 @@ def _nerf_level_fused(num_layers, skip_every, pe_dim, se_dim, samples,
 def _nerf_level_fwd(num_layers, skip_every, pe_dim, se_dim, samples,
                     compute_dtype, pe_spec, dir_pe_spec,
                     params, pts_raw, dirs_ray, se, z, bg, noise, cond):
-    spec, hidden = _rayd_spec_of(num_layers, skip_every, pe_dim,
-                                 dir_pe_spec.raw_out, se_dim, samples,
-                                 compute_dtype, params)
-    trunk = fold_conditioning(params["trunk"], cond, pe_dim)
-    trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
-    p2 = dict(params)
-    p2["trunk"] = trunk
-    if _PE_STASH:
-        rgb_map, weights, xt = nerf_level_forward(
-            spec, pts_raw, dirs_ray, se, z, bg, noise, p2, pe_spec,
-            dir_pe_spec, want_stash=True)
-    else:
-        rgb_map, weights = nerf_level_forward(
-            spec, pts_raw, dirs_ray, se, z, bg, noise, p2, pe_spec,
-            dir_pe_spec)
-        xt = None
-    return (rgb_map, weights), (params, pts_raw, dirs_ray, se, z, bg,
-                                noise, cond, xt)
+    y = _nerf_level_fused(num_layers, skip_every, pe_dim, se_dim, samples,
+                          compute_dtype, pe_spec, dir_pe_spec,
+                          params, pts_raw, dirs_ray, se, z, bg, noise, cond)
+    return y, (params, pts_raw, dirs_ray, se, z, bg, noise, cond)
 
 
 def _nerf_level_bwd(num_layers, skip_every, pe_dim, se_dim, samples,
                     compute_dtype, pe_spec, dir_pe_spec, res, gs):
-    params, pts_raw, dirs_ray, se, z, bg, noise, cond, xt = res
+    params, pts_raw, dirs_ray, se, z, bg, noise, cond = res
     g_rgb, g_w = gs
     spec, hidden = _rayd_spec_of(num_layers, skip_every, pe_dim,
                                  dir_pe_spec.raw_out, se_dim, samples,
@@ -2885,7 +2656,7 @@ def _nerf_level_bwd(num_layers, skip_every, pe_dim, se_dim, samples,
     p2["trunk"] = trunk
     gx, gse, g_bg, grads_folded = nerf_level_vjp(
         spec, pts_raw, dirs_ray, se, z, bg, noise, p2, g_rgb, g_w,
-        pe_spec, dir_pe_spec, xt_stash=xt)
+        pe_spec, dir_pe_spec)
     trunk_grads, dcond = _unfold_cond_grads(params["trunk"],
                                             grads_folded["trunk"], cond,
                                             skip_every, hidden, pe_dim)

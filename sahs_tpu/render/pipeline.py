@@ -153,19 +153,22 @@ def render_rays(
 
     def run_level(level, z_vals, noise_key, raw_override=None):
         S = z_vals.shape[-1]
+        if raw_override is None:
+            pts = (ray_origins[:, None, :]
+                   + ray_directions[:, None, :] * z_vals[..., None])
+            pts_flat = pts.reshape(-1, 3)
         if raw_override is None and level_fn is not None \
                 and nerface.level_kernel_compatible(S):
             # Fully-fused path: MLP + volume compositing in one kernel
-            # (per-ray outputs); positions are built in-kernel from the ray
-            # data. disp/acc/depth are the same cheap (R,S) reductions the
-            # oracle computes (volume_rendering_utils.py:71-73).
+            # (per-ray outputs). disp/acc/depth are the same cheap (R,S)
+            # reductions the oracle computes (volume_rendering_utils.py:71-73).
             noise = None
             if settings.radiance_field_noise_std > 0:
                 noise = (jax.random.normal(noise_key, z_vals.shape,
                                            dtype=z_vals.dtype)
                          * settings.radiance_field_noise_std)
-            rgb_map, weights = level_fn(level, ray_origins, ray_directions,
-                                        S, z_vals, background_prior, noise)
+            rgb_map, weights = level_fn(level, pts_flat, ray_directions, S,
+                                        z_vals, background_prior, noise)
             rgb = rgb_map[:, :15]
             depth = jnp.sum(weights * z_vals, axis=-1)
             acc = jnp.sum(weights, axis=-1)
@@ -177,9 +180,6 @@ def render_rays(
         if raw_override is not None:
             raw = raw_override
         else:
-            pts_flat = (ray_origins[:, None, :]
-                        + ray_directions[:, None, :] * z_vals[..., None]
-                        ).reshape(-1, 3)
             raw = field_fn(level, pts_flat, ray_directions, S)
             raw = raw.reshape(num_rays, S, raw.shape[-1])
         if background_prior is not None:
