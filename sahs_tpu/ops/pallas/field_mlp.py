@@ -214,12 +214,31 @@ def _sin(t):
     return jnp.sin(t) if _PE_SIN else t * 0.25
 
 
+# SAHS_PE_BCAST=1: the PE "matmul" as per-input-column VPU broadcast-FMAs
+# instead of MXU dots (each PE output slot depends on exactly ONE input
+# column). Measured SLOWER on v5e (45.36 vs 44.91 ms/step): these kernels
+# are VPU-bound — sin/selects/composite keep the VPU busy while the tiny
+# PE dots ride the otherwise-idle MXU — so the default stays 0. Kept as
+# an ablation switch and as the record of WHY the dot form wins.
+_PE_BCAST = os.environ.get("SAHS_PE_BCAST", "0") == "1"
+
+
+def _pe_angles(x_raw, scale, phase):
+    """t = x_raw @ scale + phase, computed per the _PE_BCAST switch."""
+    if not _PE_BCAST:
+        return _pe_f32_dot(x_raw, scale) + phase
+    t = jnp.broadcast_to(phase, (x_raw.shape[0], scale.shape[1]))
+    for a in range(scale.shape[0]):
+        t = t + x_raw[:, a:a + 1].astype(jnp.float32) * scale[a:a + 1, :]
+    return t
+
+
 def _pe_apply(x_raw, pe_refs):
     """In-kernel PE forward from table refs [scale, phase, is_input]:
     (T, in_width) f32 -> (T, out_width) f32. Padding slots have zero
     scale/phase -> sin(0) = 0, matching the zero-padded no-PE path."""
     scale, phase, mask = pe_refs[0][:], pe_refs[1][:], pe_refs[2][:]
-    t = _pe_f32_dot(x_raw, scale) + phase
+    t = _pe_angles(x_raw, scale, phase)
     return jnp.where(mask > 0, t - phase, _sin(t))
 
 
@@ -227,9 +246,17 @@ def _pe_bwd(x_raw, g_pe, pe_refs):
     """In-kernel PE backward: cotangent wrt the PE output (T, out_width)
     -> cotangent wrt the raw input (T, in_width)."""
     scale, phase, mask = pe_refs[0][:], pe_refs[1][:], pe_refs[2][:]
-    t = _pe_f32_dot(x_raw, scale) + phase
+    t = _pe_angles(x_raw, scale, phase)
     dt = jnp.where(mask > 0, g_pe, g_pe * jnp.cos(t))
-    return _pe_f32_dot(dt, scale.T)
+    if not _PE_BCAST:
+        return _pe_f32_dot(dt, scale.T)
+    in_w = scale.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, in_w), 1)
+    gx = jnp.zeros((x_raw.shape[0], in_w), jnp.float32)
+    for a in range(in_w):
+        red = jnp.sum(dt * scale[a:a + 1, :], axis=-1, keepdims=True)
+        gx = gx + red * (cols == a).astype(jnp.float32)
+    return gx
 
 
 # ===========================================================================
