@@ -1534,8 +1534,11 @@ def _ray_expand(tile: int, S: int, dtype):
 
 
 def _rayd_forward_math(spec: NerfRaydSpec, x, dir_pe, se, W,
-                       keep: bool = False):
-    """x (T, in_dim), dir_pe (G, pe_dir padded), se (T, se_dim) or None."""
+                       keep: bool = False, expand=None):
+    """x (T, in_dim), dir_pe (G, pe_dir padded), se (T, se_dim) or None.
+    expand: optional precomputed (T, G) 0/1 ray-expand block (the fused
+    level kernels pass it as a VMEM-resident input — these kernels are
+    VPU-bound and per-tile iota+compare regeneration is real cost)."""
     cdt = jnp.dtype(spec.compute_dtype)
     leaky = _act("leaky")
     tspec = TrunkSpec(spec.num_layers, spec.skip_every, spec.in_dim,
@@ -1549,7 +1552,10 @@ def _rayd_forward_math(spec: NerfRaydSpec, x, dir_pe, se, W,
         h = _trunk_forward(tspec, x, W["ws"], W["bs"])
     feat = _mm(h, W["wf"], cdt) + W["bf"]
     alpha = _mm(feat, W["wa"], cdt) + W["ba"]
-    expand = _ray_expand(x.shape[0], spec.samples, cdt)
+    if expand is None:
+        expand = _ray_expand(x.shape[0], spec.samples, cdt)
+    else:
+        expand = expand.astype(cdt)
     dir_head = _mm(dir_pe, W["wd0d"], cdt)            # (G, B)
     d_in = (_mm(feat, W["wd0f"], cdt)
             + _mm(expand, dir_head.astype(cdt), cdt) + W["bd0"])
@@ -2100,7 +2106,8 @@ def _excl_cumsum_lanes(x, reverse: bool = False):
 
 
 def _composite_fwd(spec: NerfRaydSpec, rgb, seg, alpha, z, rd_raw, bg,
-                   noise, has_bg: bool, exact: bool, keep: bool = False):
+                   noise, has_bg: bool, exact: bool, keep: bool = False,
+                   consts=None):
     """In-kernel compositing on one tile (G rays x S samples = TILE points).
     rgb/seg/alpha: (TILE, 128) head blocks; z/noise: (G, S); rd_raw: (G, >=3)
     raw ray dirs; bg: (G, 16) raw prior or None. Returns (rgb_map (G, 16),
@@ -2123,8 +2130,12 @@ def _composite_fwd(spec: NerfRaydSpec, rgb, seg, alpha, z, rd_raw, bg,
                            keepdims=True))
     dists = dz * rdn                                       # (G, S)
 
-    expand = _ray_expand(tile, S, jnp.bfloat16)            # exact 0/1
-    sel = _sel_matrix(tile, S, f32)
+    if consts is not None:
+        expand = consts[0].astype(jnp.bfloat16)
+        sel = consts[1].astype(f32)
+    else:
+        expand = _ray_expand(tile, S, jnp.bfloat16)        # exact 0/1
+        sel = _sel_matrix(tile, S, f32)
 
     sig_pt = alpha[:, :1].astype(f32)                      # (TILE, 1)
     sig_gs = _01dotT(expand, sig_pt * sel, exact)          # (G, S)
@@ -2254,6 +2265,29 @@ def _level_io(spec, pts_raw, dirs_ray, se, z, bg, noise, pe_spec,
     return P, Pp, Rp, xp, dp, zp, extras, se_in
 
 
+
+def _const_index_arrays(tile: int, S: int):
+    """Host-precomputed (tile, G) ray-expand and (tile, S) sample-select
+    0/1 blocks, passed to the level kernels as VMEM-resident constant
+    inputs (constant index map) instead of per-tile iota+compare
+    regeneration — the kernels are VPU-bound."""
+    import numpy as _np
+    G = tile // S
+    row = _np.arange(tile)[:, None]
+    expand = (row // S == _np.arange(G)[None, :])
+    sel = ((row % S) == _np.arange(S)[None, :])
+    return [jnp.asarray(expand.astype(_np.float32), jnp.bfloat16),
+            jnp.asarray(sel.astype(_np.float32))]
+
+
+def _const_index_specs(tile: int, S: int):
+    G = tile // S
+    return [pl.BlockSpec((tile, G), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, S), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)]
+
+
 def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                        noise, params, pe_spec: PESpec,
                        dir_pe_spec: PESpec):
@@ -2282,7 +2316,7 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     n_ex = len(extras)
     cdt = jnp.dtype(spec.compute_dtype)
 
-    def kernel(x_ref, d_ref, z_ref, *refs):
+    def kernel(x_ref, d_ref, z_ref, cexp_ref, csel_ref, *refs):
         ex_refs = refs[:n_ex]
         se_refs = refs[n_ex:n_ex + n_se]
         w_refs = refs[n_ex + n_se:n_ex + n_se + n_flat]
@@ -2307,7 +2341,9 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                 se_t = se_t.astype(cdt)
             else:
                 se_t = se_refs[0][:]
-        rgb, seg, alpha = _rayd_forward_math(spec, x_t, dir_pe, se_t, W)
+        cexp = cexp_ref[:]
+        rgb, seg, alpha = _rayd_forward_math(spec, x_t, dir_pe, se_t, W,
+                                             expand=cexp)
         i = 0
         bg_t = None
         if has_bg:
@@ -2316,7 +2352,8 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
         noise_t = ex_refs[i][:] if has_noise else None
         rgb_map, weights = _composite_fwd(spec, rgb, seg, alpha, z_ref[:],
                                           d_raw, bg_t, noise_t, has_bg,
-                                          exact)
+                                          exact,
+                                          consts=(cexp, csel_ref[:]))
         o_rgb[:] = rgb_map.astype(o_rgb.dtype)
         o_w[:] = weights.astype(o_w.dtype)
 
@@ -2330,6 +2367,7 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                                      memory_space=pltpu.VMEM))
     se_specs = ([pl.BlockSpec((TILE, se_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] if n_se else [])
+    consts_in = _const_index_arrays(TILE, S)
     outs = pl.pallas_call(
         kernel,
         grid=(Pp // TILE,),
@@ -2339,6 +2377,7 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((G, S), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
+                 + _const_index_specs(TILE, S)
                  + ex_specs + se_specs
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
@@ -2352,7 +2391,7 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, dp, zp, *extras, *se_in, *flat, *pe_in, *dpe_in)
+    )(xp, dp, zp, *consts_in, *extras, *se_in, *flat, *pe_in, *dpe_in)
     return outs[0][:R], outs[1][:R]
 
 
@@ -2389,7 +2428,8 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
     cdt = jnp.dtype(spec.compute_dtype)
     leakyd = _dact_from_out("leaky")
 
-    def kernel(x_ref, d_ref, z_ref, grgb_ref, gw_ref, *refs):
+    def kernel(x_ref, d_ref, z_ref, grgb_ref, gw_ref, cexp_ref, csel_ref,
+               *refs):
         ex_refs = refs[:n_ex]
         se_refs = refs[n_ex:n_ex + n_se]
         w_refs = refs[n_ex + n_se:n_ex + n_se + n_flat]
@@ -2426,8 +2466,9 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
                 se_t = se_f32.astype(cdt)
             else:
                 se_t = se_refs[0][:]
+        cexp = cexp_ref[:]
         rgb, seg, alpha, acts = _rayd_forward_math(spec, x_t, dir_pe, se_t,
-                                                   W, keep=True)
+                                                   W, keep=True, expand=cexp)
         i = 0
         bg_t = None
         if has_bg:
@@ -2435,7 +2476,8 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
             i += 1
         noise_t = ex_refs[i][:] if has_noise else None
         _, _, st = _composite_fwd(spec, rgb, seg, alpha, z_ref[:], d_raw,
-                                  bg_t, noise_t, has_bg, exact, keep=True)
+                                  bg_t, noise_t, has_bg, exact, keep=True,
+                                  consts=(cexp, csel_ref[:]))
         grgb3, gseg12, g_sigraw, g_bg = _composite_bwd(
             spec, st, grgb_ref[:], gw_ref[:], has_bg, exact)
         if has_bg:
@@ -2579,6 +2621,7 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((G, S), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
+                 + _const_index_specs(BWD_TILE, S)
                  + ex_specs + se_specs
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
@@ -2588,7 +2631,8 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, dp, zp, grp, gwp, *extras, *se_in, *flat, *pe_in, *dpe_in)
+    )(xp, dp, zp, grp, gwp, *_const_index_arrays(BWD_TILE, S), *extras,
+      *se_in, *flat, *pe_in, *dpe_in)
 
     gx = outs[0][:P, :raw_in]
     k = 1
