@@ -440,6 +440,11 @@ _BWD_NO_DWREFS = os.environ.get("SAHS_BWD_NO_DWREFS", "0") == "1"
 # SAHS_BWD_NO_VMEMLIM=1 drops the vmem_limit_bytes compiler param.
 _BWD_NO_VMEMLIM = os.environ.get("SAHS_BWD_NO_VMEMLIM", "0") == "1"
 
+# SAHS_LVL_STAGE: timing bisect of the LEVEL bwd kernel (WRONG results):
+#   0 = DMA + dW-accumulate machinery only
+#   1 = + in-kernel PE      2 = + trunk fwd recompute      -1 = full
+_LVL_STAGE = int(os.environ.get("SAHS_LVL_STAGE", "-1"))
+
 BWD_TILE = int(os.environ.get("SAHS_BWD_TILE", "1024"))
                  # bwd holds weights + dW accumulators + per-tile activations
                  # in VMEM (~25 MB; vmem_limit_bytes raised on the bwd
@@ -2453,6 +2458,28 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         x_raw = x_ref[:]
         if xw_blk > xw:
             x_raw = x_raw[:, :xw]
+        if _LVL_STAGE >= 0:
+            # timing bisect (WRONG results): stage 0 = DMA + accumulate
+            # machinery only; 1 = + PE; 2 = + trunk fwd recompute
+            probe = x_raw
+            if _LVL_STAGE >= 1:
+                probe = _pe_apply(x_raw, pe_refs)
+            if _LVL_STAGE >= 2:
+                tspec_p = TrunkSpec(spec.num_layers, spec.skip_every,
+                                    spec.in_dim, spec.hidden, 0, act="leaky",
+                                    compute_dtype=spec.compute_dtype)
+                probe = _trunk_forward(tspec_p, probe.astype(cdt),
+                                       W["ws"], W["bs"])
+            gx_ref[:] = jnp.broadcast_to(
+                jnp.sum(probe, axis=-1, keepdims=True) + grgb_ref[0, 0],
+                gx_ref.shape).astype(gx_ref.dtype)
+            if gse_ref is not None:
+                gse_ref[:] = jnp.zeros(gse_ref.shape, gse_ref.dtype)
+            if gbg_ref is not None:
+                gbg_ref[:] = jnp.zeros(gbg_ref.shape, gbg_ref.dtype)
+            _accumulate(dw_refs, [jnp.zeros(r.shape, jnp.float32)
+                                  for r in dw_refs], pl.program_id(0) == 0)
+            return
         x_t = _pe_apply(x_raw, pe_refs)
         d_raw = d_ref[:]
         dir_pe = _pe_apply(d_raw, dpe_refs).astype(cdt)
