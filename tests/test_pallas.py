@@ -539,3 +539,36 @@ def test_pallas_latent_code_path_matches_oracle():
     dl_o = jax.grad(lambda l: jnp.sum(jnp.sin(oracle_out(l))))(latent)
     np.testing.assert_allclose(np.asarray(dl_p), np.asarray(dl_o),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_pe_broadcast_variant_matches_dot(setup, monkeypatch):
+    """The SAHS_PE_BCAST ablation path (VPU broadcast-FMA PE) must stay
+    numerically equivalent to the default split-dot PE (it is f32-exact;
+    kept as a measured-slower-on-v5e ablation switch)."""
+    from sahs_tpu.ops.pallas import field_mlp as fm
+    spec, params, rng, pe_x, driving, pose_enc, cond = setup
+    pts = jnp.asarray(rng.uniform(-0.4, 0.4, (256, 3)).astype(np.float32))
+    warp_pe = fm.PESpec(groups=((0, 3, 10, True, True),), in_width=8,
+                        out_width=fm._rup(63))
+
+    def run():
+        y = fm.deform_mlp_apply_fused(
+            params["warp"], 6, 128, 4, pts, cond, 3, out_act="tanh",
+            compute_dtype="float32", pe_spec=warp_pe)
+        g = jax.grad(lambda p: jnp.sum(jnp.sin(fm.deform_mlp_apply_fused(
+            p, 6, 128, 4, pts, cond, 3, out_act="tanh",
+            compute_dtype="float32", pe_spec=warp_pe))))(params["warp"])
+        return y, g
+
+    y_dot, g_dot = run()
+    monkeypatch.setattr(fm, "_PE_BCAST", True)
+    y_bc, g_bc = run()
+    # both paths are f32-accurate but associate the angle sum differently;
+    # sin at 2^9 frequencies amplifies the last-bit difference ~500x
+    np.testing.assert_allclose(np.asarray(y_bc), np.asarray(y_dot),
+                               atol=5e-4, rtol=5e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dot),
+                    jax.tree_util.tree_leaves(g_bc)):
+        sc = max(float(np.abs(np.asarray(a)).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3 * sc)
