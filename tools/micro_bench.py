@@ -120,6 +120,40 @@ def main():
         timeit("field_bwd", lambda p, eps: sum(
             jnp.sum(x) for x in jax.tree.leaves(f(params, p + eps))), pts)
 
+    # Fully-fused level (pair -> gather -> NeRF+interp+composite) ablation:
+    # ray-structured z-sorted points (the fused train path's geometry).
+    if "level_fwd" in cases or "level_bwd" in cases:
+        from sahs_tpu.models.nerface import make_render_fns
+        R = P // S
+        z = jnp.sort(jnp.asarray(
+            rng.uniform(0.3, 1.7, (R, S)).astype(np.float32)), axis=-1)
+        o = jnp.broadcast_to(
+            jnp.asarray(np.array([0.0, 0.0, 0.9], np.float32)), (R, 3))
+        d = jnp.asarray(np.stack(
+            [rng.uniform(-0.25, 0.25, R), rng.uniform(-0.25, 0.25, R),
+             -np.ones(R)], -1).astype(np.float32))
+        bg = jnp.asarray(rng.rand(R, 15).astype(np.float32))
+        rcot = jnp.asarray(rng.randn(R, 16).astype(np.float32))
+        wcot = jnp.asarray(rng.randn(R, S).astype(np.float32))
+
+        def level(mp, zz):
+            fns = make_render_fns(mp, spec, audio, pose, use_pallas=True,
+                                  compute_dtype="bfloat16")
+            pts_l = (o[:, None, :] + d[:, None, :] * zz[..., None]
+                     ).reshape(-1, 3)
+            return fns.level_fn("fine", pts_l, d, S, zz, bg, None)
+
+        if "level_fwd" in cases:
+            timeit("level_fwd", lambda mp, eps: sum(
+                jnp.sum(x) for x in level(mp, z + eps)), params)
+        if "level_bwd" in cases:
+            def _loss(mp, zz):
+                rgb_map, weights = level(mp, zz)   # ONE evaluation
+                return jnp.vdot(rgb_map, rcot) + jnp.vdot(weights, wcot)
+            f = jax.grad(_loss)
+            timeit("level_bwd", lambda mp, eps: sum(
+                jnp.sum(x) for x in jax.tree.leaves(f(mp, z + eps))), params)
+
     from sahs_tpu.ops.pallas.field_mlp import (PESpec, _rup,
                                                deform_mlp_apply_fused)
     from sahs_tpu.ops.encoding import encoded_dim
