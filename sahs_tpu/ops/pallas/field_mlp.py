@@ -1580,7 +1580,7 @@ def _rayd_forward_math(spec: NerfRaydSpec, x, dir_pe, se, W,
     seg = _mm(s, W["wseg"], cdt) + W["bseg"]
     if keep:
         acts.update(feat=feat, dacts=dacts, sacts=sacts, expand=expand,
-                    dir_head=dir_head)
+                    dir_head=dir_head, dir_pe=dir_pe)
         return rgb, seg, alpha, acts
     return rgb, seg, alpha
 
@@ -2400,6 +2400,169 @@ def nerf_level_forward(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     return outs[0][:R], outs[1][:R]
 
 
+def _level_bwd_chains(spec: NerfRaydSpec, W, x_raw, x_t, acts, st, se_t,
+                      se_aux, grgb_ray, gw_ray, pe_refs, has_bg: bool,
+                      exact: bool, gx_width: int):
+    """Backward chains of the fused level kernel, from per-ray cotangents
+    (grgb_ray (G,16), gw_ray (G,S), both f32) down to the input/weight
+    cotangents: composite bwd -> seg/dir/alpha heads -> trunk -> PE (+
+    in-kernel trilinear dCoords when corner_interp). All operands are VMEM
+    values. Returns (gx (T, gx_width), gse_val (T, se_dim)|None,
+    g_bg (G, 16)|None, grads list in _flatten_nerf_weights_rayd order).
+
+    Shared verbatim between nerf_level_vjp (recompute-based custom-vjp
+    backward) and nerf_level_train (single-pass fwd+grad kernel)."""
+    cdt = jnp.dtype(spec.compute_dtype)
+    leakyd = _dact_from_out("leaky")
+    grgb3, gseg12, g_sigraw, g_bg = _composite_bwd(
+        spec, st, grgb_ray, gw_ray, has_bg, exact)
+
+    tile = grgb3.shape[0]
+    grgb = jnp.concatenate(
+        [grgb3, jnp.zeros((tile, 125), jnp.float32)], axis=-1)
+    gseg = jnp.concatenate(
+        [gseg12, jnp.zeros((tile, 116), jnp.float32)], axis=-1)
+    galpha = jnp.concatenate(
+        [g_sigraw, jnp.zeros((tile, 127), jnp.float32)], axis=-1)
+
+    feat = acts["feat"]
+    dacts = acts["dacts"]
+    sacts = acts["sacts"]
+
+    # seg head
+    dwseg = _mmT(sacts[3], gseg, cdt)
+    dbseg = jnp.sum(gseg, axis=0, keepdims=True)
+    gs = _mm(gseg, W["wseg"].T, cdt)
+    seg_grads = []
+    for k in range(3, 0, -1):
+        gz = gs * leakyd(sacts[k])
+        wsk, _ = W["seg_rest"][k - 1]
+        seg_grads.append((_mmT(sacts[k - 1], gz, cdt),
+                          jnp.sum(gz, axis=0, keepdims=True)))
+        gs = _mm(gz, wsk.T, cdt)
+    gz0 = gs * leakyd(sacts[0])
+    dws0 = _mmT(feat, gz0, cdt)
+    dbs0 = jnp.sum(gz0, axis=0, keepdims=True)
+    gfeat = _mm(gz0, W["ws0"].T, cdt)
+
+    # dir head
+    dwrgb = _mmT(dacts[3], grgb, cdt)
+    dbrgb = jnp.sum(grgb, axis=0, keepdims=True)
+    gd = _mm(grgb, W["wrgb"].T, cdt)
+    dir_grads = []
+    for k in range(3, 0, -1):
+        gz = gd * leakyd(dacts[k])
+        wd, _ = W["dir_rest"][k - 1]
+        dir_grads.append((_mmT(dacts[k - 1], gz, cdt),
+                          jnp.sum(gz, axis=0, keepdims=True)))
+        gd = _mm(gz, wd.T, cdt)
+    gzd0 = gd * leakyd(dacts[0])
+    dwd0f = _mmT(feat, gzd0, cdt)
+    gsum = _mmT(acts["expand"], gzd0, cdt)
+    dwd0d = _mmT(acts["dir_pe"], gsum, cdt)
+    dbd0 = jnp.sum(gzd0, axis=0, keepdims=True)
+    gfeat = gfeat + _mm(gzd0, W["wd0f"].T, cdt)
+    gse_val = None
+    dwd0s = None
+    if se_t is not None:
+        dwd0s = _mmT(se_t, gzd0, cdt)
+        gse_val = _mm(gzd0, W["wd0s"].T, cdt)[:, :spec.se_dim]
+
+    # alpha head
+    dwa = _mmT(feat, galpha, cdt)
+    dba = jnp.sum(galpha, axis=0, keepdims=True)
+    gfeat = gfeat + _mm(galpha, W["wa"].T, cdt)
+
+    # feat (linear)
+    h_last = acts["trunk"][-1]
+    dwf = _mmT(h_last, gfeat, cdt)
+    dbf = jnp.sum(gfeat, axis=0, keepdims=True)
+    gh = _mm(gfeat, W["wf"].T, cdt)
+
+    tspec = TrunkSpec(spec.num_layers, spec.skip_every, spec.in_dim,
+                      spec.hidden, 0, act="leaky",
+                      compute_dtype=spec.compute_dtype)
+    gx, dws, dbs = _trunk_backward(tspec, x_t, W["ws"], W["bs"],
+                                   acts["trunk"], gh)
+    gx = _pe_bwd(x_raw, gx, pe_refs)
+    if se_aux is not None:
+        dc = _corner_dcoords(gse_val, se_aux, spec.grid_dims,
+                             spec.se_dim, jnp.float32)
+        gx = gx + jnp.concatenate(
+            [dc, jnp.zeros((dc.shape[0], gx.shape[1] - 3),
+                           jnp.float32)], axis=-1)
+    if gx_width > gx.shape[1]:
+        gx = jnp.concatenate(
+            [gx, jnp.zeros((gx.shape[0], gx_width - gx.shape[1]),
+                           gx.dtype)], axis=-1)
+
+    grads = []
+    for li in range(spec.num_layers):
+        if li == spec.skip_every and li > 0:
+            grads.extend([dws[li][0], dws[li][1]])
+        else:
+            grads.append(dws[li])
+        grads.append(dbs[li])
+    grads.extend([dwf, dbf, dwa, dba, dwd0f, dwd0d])
+    if dwd0s is not None:
+        grads.append(dwd0s)
+    grads.append(dbd0)
+    for dw_, db_ in reversed(dir_grads):
+        grads.extend([dw_, db_])
+    grads.extend([dwrgb, dbrgb, dws0, dbs0])
+    for dw_, db_ in reversed(seg_grads):
+        grads.extend([dw_, db_])
+    grads.extend([dwseg, dbseg])
+    return gx, gse_val, g_bg, grads
+
+
+def _rayd_grads_tree(spec: NerfRaydSpec, params, flat_grads):
+    """Rebuild the (unpadded) grads pytree from the kernel's flat dW output
+    list (in _flatten_nerf_weights_rayd order)."""
+    it = iter(flat_grads)
+    grads_tree = {"trunk": [], "dir": [], "seg": []}
+    for li, p in enumerate(params["trunk"]):
+        w = p["w"]
+        if li == 0:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        elif li == spec.skip_every:
+            hid = w.shape[1]
+            dwh = next(it)
+            dwx = next(it)
+            dw = jnp.concatenate([dwh[:hid, :hid],
+                                  dwx[:w.shape[0] - hid, :hid]], axis=0)
+        else:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        grads_tree["trunk"].append({"w": dw, "b": db})
+
+    def head(p):
+        dw = next(it)[:p["w"].shape[0], :p["w"].shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        return {"w": dw, "b": db}
+
+    grads_tree["fc_feat"] = head(params["fc_feat"])
+    grads_tree["fc_alpha"] = head(params["fc_alpha"])
+    d0 = params["dir"][0]
+    hid = params["fc_feat"]["w"].shape[1]
+    B_real = d0["w"].shape[1]
+    dwd0f = next(it)[:hid, :B_real]
+    dwd0d = next(it)[:spec.dir_raw, :B_real]
+    parts = [dwd0f, dwd0d]
+    if spec.se_dim:
+        parts.append(next(it)[:spec.se_dim, :B_real])
+    dw0 = jnp.concatenate(parts, axis=0)
+    db0 = next(it)[0, :d0["b"].shape[0]]
+    grads_tree["dir"].append({"w": dw0, "b": db0})
+    for p in params["dir"][1:]:
+        grads_tree["dir"].append(head(p))
+    grads_tree["fc_rgb"] = head(params["fc_rgb"])
+    for p in params["seg"]:
+        grads_tree["seg"].append(head(p))
+    grads_tree["fc_seg"] = head(params["fc_seg"])
+    return grads_tree
+
+
 def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
                    params, g_rgb, g_w, pe_spec: PESpec,
                    dir_pe_spec: PESpec):
@@ -2431,7 +2594,6 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
     n_ex = len(extras)
     n_grid = Pp // BWD_TILE
     cdt = jnp.dtype(spec.compute_dtype)
-    leakyd = _dact_from_out("leaky")
 
     def kernel(x_ref, d_ref, z_ref, grgb_ref, gw_ref, cexp_ref, csel_ref,
                *refs):
@@ -2505,108 +2667,14 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         _, _, st = _composite_fwd(spec, rgb, seg, alpha, z_ref[:], d_raw,
                                   bg_t, noise_t, has_bg, exact, keep=True,
                                   consts=(cexp, csel_ref[:]))
-        grgb3, gseg12, g_sigraw, g_bg = _composite_bwd(
-            spec, st, grgb_ref[:], gw_ref[:], has_bg, exact)
+        gx, gse_val, g_bg, grads = _level_bwd_chains(
+            spec, W, x_raw, x_t, acts, st, se_t, se_aux,
+            grgb_ref[:], gw_ref[:], pe_refs, has_bg, exact, gx_width)
         if has_bg:
             gbg_ref[:] = g_bg.astype(gbg_ref.dtype)
-
-        tile = grgb3.shape[0]
-        grgb = jnp.concatenate(
-            [grgb3, jnp.zeros((tile, 125), jnp.float32)], axis=-1)
-        gseg = jnp.concatenate(
-            [gseg12, jnp.zeros((tile, 116), jnp.float32)], axis=-1)
-        galpha = jnp.concatenate(
-            [g_sigraw, jnp.zeros((tile, 127), jnp.float32)], axis=-1)
-
-        feat = acts["feat"]
-        dacts = acts["dacts"]
-        sacts = acts["sacts"]
-
-        # seg head
-        dwseg = _mmT(sacts[3], gseg, cdt)
-        dbseg = jnp.sum(gseg, axis=0, keepdims=True)
-        gs = _mm(gseg, W["wseg"].T, cdt)
-        seg_grads = []
-        for k in range(3, 0, -1):
-            gz = gs * leakyd(sacts[k])
-            wsk, _ = W["seg_rest"][k - 1]
-            seg_grads.append((_mmT(sacts[k - 1], gz, cdt),
-                              jnp.sum(gz, axis=0, keepdims=True)))
-            gs = _mm(gz, wsk.T, cdt)
-        gz0 = gs * leakyd(sacts[0])
-        dws0 = _mmT(feat, gz0, cdt)
-        dbs0 = jnp.sum(gz0, axis=0, keepdims=True)
-        gfeat = _mm(gz0, W["ws0"].T, cdt)
-
-        # dir head
-        dwrgb = _mmT(dacts[3], grgb, cdt)
-        dbrgb = jnp.sum(grgb, axis=0, keepdims=True)
-        gd = _mm(grgb, W["wrgb"].T, cdt)
-        dir_grads = []
-        for k in range(3, 0, -1):
-            gz = gd * leakyd(dacts[k])
-            wd, _ = W["dir_rest"][k - 1]
-            dir_grads.append((_mmT(dacts[k - 1], gz, cdt),
-                              jnp.sum(gz, axis=0, keepdims=True)))
-            gd = _mm(gz, wd.T, cdt)
-        gzd0 = gd * leakyd(dacts[0])
-        dwd0f = _mmT(feat, gzd0, cdt)
-        gsum = _mmT(acts["expand"], gzd0, cdt)
-        dwd0d = _mmT(dir_pe, gsum, cdt)
-        dbd0 = jnp.sum(gzd0, axis=0, keepdims=True)
-        gfeat = gfeat + _mm(gzd0, W["wd0f"].T, cdt)
-        gse_val = None
-        if n_se:
-            dwd0s = _mmT(se_t, gzd0, cdt)
-            gse_val = _mm(gzd0, W["wd0s"].T, cdt)[:, :spec.se_dim]
+        if gse_ref is not None and gse_val is not None:
             gse_ref[:] = gse_val.astype(gse_ref.dtype)
-
-        # alpha head
-        dwa = _mmT(feat, galpha, cdt)
-        dba = jnp.sum(galpha, axis=0, keepdims=True)
-        gfeat = gfeat + _mm(galpha, W["wa"].T, cdt)
-
-        # feat (linear)
-        h_last = acts["trunk"][-1]
-        dwf = _mmT(h_last, gfeat, cdt)
-        dbf = jnp.sum(gfeat, axis=0, keepdims=True)
-        gh = _mm(gfeat, W["wf"].T, cdt)
-
-        tspec = TrunkSpec(spec.num_layers, spec.skip_every, spec.in_dim,
-                          spec.hidden, 0, act="leaky",
-                          compute_dtype=spec.compute_dtype)
-        gx, dws, dbs = _trunk_backward(tspec, x_t, W["ws"], W["bs"],
-                                       acts["trunk"], gh)
-        gx = _pe_bwd(x_raw, gx, pe_refs)
-        if se_aux is not None:
-            dc = _corner_dcoords(gse_val, se_aux, spec.grid_dims,
-                                 spec.se_dim, jnp.float32)
-            gx = gx + jnp.concatenate(
-                [dc, jnp.zeros((dc.shape[0], gx.shape[1] - 3),
-                               jnp.float32)], axis=-1)
-        if gx_width > gx.shape[1]:
-            gx = jnp.concatenate(
-                [gx, jnp.zeros((gx.shape[0], gx_width - gx.shape[1]),
-                               gx.dtype)], axis=-1)
         gx_ref[:] = gx.astype(gx_ref.dtype)
-
-        grads = []
-        for li in range(spec.num_layers):
-            if li == spec.skip_every and li > 0:
-                grads.extend([dws[li][0], dws[li][1]])
-            else:
-                grads.append(dws[li])
-            grads.append(dbs[li])
-        grads.extend([dwf, dbf, dwa, dba, dwd0f, dwd0d])
-        if n_se:
-            grads.append(dwd0s)
-        grads.append(dbd0)
-        for dw_, db_ in reversed(dir_grads):
-            grads.extend([dw_, db_])
-        grads.extend([dwrgb, dbrgb, dws0, dbs0])
-        for dw_, db_ in reversed(seg_grads):
-            grads.extend([dw_, db_])
-        grads.extend([dwseg, dbseg])
         _accumulate(dw_refs, grads, pl.program_id(0) == 0)
 
     ex_specs = []
@@ -2672,48 +2740,7 @@ def nerf_level_vjp(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg, noise,
         g_bg = outs[k][:R, :bg.shape[1]]
         k += 1
     flat_grads = list(outs[k:])
-
-    it = iter(flat_grads)
-    grads_tree = {"trunk": [], "dir": [], "seg": []}
-    for li, p in enumerate(params["trunk"]):
-        w = p["w"]
-        if li == 0:
-            dw = next(it)[:w.shape[0], :w.shape[1]]
-        elif li == spec.skip_every:
-            hid = w.shape[1]
-            dwh = next(it)
-            dwx = next(it)
-            dw = jnp.concatenate([dwh[:hid, :hid],
-                                  dwx[:w.shape[0] - hid, :hid]], axis=0)
-        else:
-            dw = next(it)[:w.shape[0], :w.shape[1]]
-        db = next(it)[0, :p["b"].shape[0]]
-        grads_tree["trunk"].append({"w": dw, "b": db})
-
-    def head(p):
-        dw = next(it)[:p["w"].shape[0], :p["w"].shape[1]]
-        db = next(it)[0, :p["b"].shape[0]]
-        return {"w": dw, "b": db}
-
-    grads_tree["fc_feat"] = head(params["fc_feat"])
-    grads_tree["fc_alpha"] = head(params["fc_alpha"])
-    d0 = params["dir"][0]
-    hid = params["fc_feat"]["w"].shape[1]
-    B_real = d0["w"].shape[1]
-    dwd0f = next(it)[:hid, :B_real]
-    dwd0d = next(it)[:spec.dir_raw, :B_real]
-    parts = [dwd0f, dwd0d]
-    if spec.se_dim:
-        parts.append(next(it)[:spec.se_dim, :B_real])
-    dw0 = jnp.concatenate(parts, axis=0)
-    db0 = next(it)[0, :d0["b"].shape[0]]
-    grads_tree["dir"].append({"w": dw0, "b": db0})
-    for p in params["dir"][1:]:
-        grads_tree["dir"].append(head(p))
-    grads_tree["fc_rgb"] = head(params["fc_rgb"])
-    for p in params["seg"]:
-        grads_tree["seg"].append(head(p))
-    grads_tree["fc_seg"] = head(params["fc_seg"])
+    grads_tree = _rayd_grads_tree(spec, params, flat_grads)
     return gx, gse, g_bg, grads_tree
 
 
