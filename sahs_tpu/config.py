@@ -222,6 +222,12 @@ class RuntimeConfig:
     # parity: out 6.4e-3 / grad cosine 0.99996 vs the f32 oracle); switch to
     # "float32" for parity/debug runs.
     compute_dtype: str = "bfloat16"  # "float32" | "bfloat16"
+    # Fully-fused Stage-I gradient path (train/fused.py): loss cotangents
+    # computed IN the level kernels (one fwd+grad pass, no recompute) and
+    # the deformation pair + grid dGrid run once over the coarse∪fine
+    # union points. Falls back to jax.grad over render_rays whenever the
+    # configuration is outside stage1_fused_eligible.
+    fused_grads: bool = True
     donate_state: bool = True
     # Eval-time pose override: render every frame from the FIRST frame's
     # camera pose (the reference's hardcoded `frontalize` flag,

@@ -198,6 +198,52 @@ def level_kernel_compatible(samples: int) -> bool:
     return bool(samples) and TILE % samples == 0 and BWD_TILE % samples == 0
 
 
+def pair_kernel_ok(spec: "ModelSpec") -> bool:
+    """One fused kernel for BOTH deformation MLPs (shared PE pass) whenever
+    they take the same conditioning — always true for the reference nets
+    (modules.py:323-462: warp and hyper both take driving+pose)."""
+    return (spec.use_warp and spec.use_ambient
+            and spec.warp.include_driving == spec.hyper.include_driving)
+
+
+def build_pe_specs(spec: "ModelSpec"):
+    """In-kernel PE specs shared by every fused Pallas evaluator: every
+    kernel takes the packed RAW coordinates and (re)computes its positional
+    encoding inside the kernel from static frequency tables — the wide PE
+    banks never exist in HBM and XLA's PE fwd/bwd kernels disappear from
+    the hot path. in_width=8: the PE dot's contracting dim only needs the
+    3-5 real coordinate columns. Returns (warp_pe, pts_pe, dir_pe)."""
+    from ..ops.encoding import encoded_dim
+    from ..ops.pallas.field_mlp import PESpec, _rup
+
+    warp_pe = PESpec(
+        groups=((0, 3, spec.warp_num_encoding_fn_xyz, True, True),),
+        in_width=8,
+        out_width=_rup(encoded_dim(3, spec.warp_num_encoding_fn_xyz, True)))
+
+    amb_dim = spec.hyper.ambient_coord_dim if spec.use_ambient else 0
+    pts_groups = [(0, 3, spec.num_encoding_fn_xyz, spec.include_input_xyz,
+                   spec.log_sampling_xyz)]
+    if amb_dim:
+        pts_groups.append((3, amb_dim, spec.num_encoding_fn_ambient,
+                           spec.include_input_ambient,
+                           spec.log_sampling_ambient))
+    pts_pe_dim = (encoded_dim(3, spec.num_encoding_fn_xyz,
+                              spec.include_input_xyz)
+                  + encoded_dim(amb_dim, spec.num_encoding_fn_ambient,
+                                spec.include_input_ambient))
+    pts_pe = PESpec(groups=tuple(pts_groups), in_width=8,
+                    out_width=_rup(pts_pe_dim))
+
+    dir_pe = PESpec(
+        groups=((0, 3, spec.num_encoding_fn_dir, spec.include_input_dir,
+                 spec.log_sampling_dir),),
+        in_width=8,
+        out_width=_rup(encoded_dim(3, spec.num_encoding_fn_dir,
+                                   spec.include_input_dir)))
+    return warp_pe, pts_pe, dir_pe
+
+
 class RenderFns(NamedTuple):
     """Field evaluators built by make_render_fns.
 
@@ -266,30 +312,8 @@ def make_render_fns(params: Params, spec: ModelSpec,
                                         deform_pair_apply_fused,
                                         nerf_mlp_apply_fused)
 
-    # In-kernel PE: every fused kernel takes the packed RAW coordinates and
-    # (re)computes its positional encoding inside the kernel from static
-    # frequency tables — the wide PE banks never exist in HBM and XLA's PE
-    # fwd/bwd kernels disappear from the hot path. in_width=8: the PE dot's
-    # contracting dim only needs the 3-5 real coordinate columns.
-    warp_pe = PESpec(
-        groups=((0, 3, spec.warp_num_encoding_fn_xyz, True, True),),
-        in_width=8,
-        out_width=_rup(encoded_dim(3, spec.warp_num_encoding_fn_xyz, True)))
-
+    warp_pe, pts_pe, dir_pe = build_pe_specs(spec)
     amb_dim = spec.hyper.ambient_coord_dim if spec.use_ambient else 0
-    pts_groups = [(0, 3, spec.num_encoding_fn_xyz, spec.include_input_xyz,
-                   spec.log_sampling_xyz)]
-    if amb_dim:
-        pts_groups.append((3, amb_dim, spec.num_encoding_fn_ambient,
-                           spec.include_input_ambient,
-                           spec.log_sampling_ambient))
-    pts_pe_dim = (encoded_dim(3, spec.num_encoding_fn_xyz,
-                              spec.include_input_xyz)
-                  + encoded_dim(amb_dim, spec.num_encoding_fn_ambient,
-                                spec.include_input_ambient))
-    pts_pe = PESpec(groups=tuple(pts_groups), in_width=8,
-                    out_width=_rup(pts_pe_dim))
-
     se_dim = fields.SPATIAL_EMBEDDING_DIM if spec.use_spatial_embeddings else 0
     extra_groups = [(0, 3, spec.num_encoding_fn_dir, spec.include_input_dir,
                      spec.log_sampling_dir)]
@@ -310,15 +334,7 @@ def make_render_fns(params: Params, spec: ModelSpec,
     # One fused kernel for BOTH deformation MLPs (shared PE pass) whenever
     # they take the same conditioning — always true for the reference nets
     # (modules.py:323-462: warp and hyper both take driving+pose).
-    pair_ok = (spec.use_warp and spec.use_ambient
-               and spec.warp.include_driving == spec.hyper.include_driving)
-
-    dir_pe = PESpec(
-        groups=((0, 3, spec.num_encoding_fn_dir, spec.include_input_dir,
-                 spec.log_sampling_dir),),
-        in_width=8,
-        out_width=_rup(encoded_dim(3, spec.num_encoding_fn_dir,
-                                   spec.include_input_dir)))
+    pair_ok = pair_kernel_ok(spec)
 
     def front_half(pts_flat):
         """Shared deformation front half: packed canonical points (kept as

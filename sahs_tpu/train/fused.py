@@ -1,0 +1,374 @@
+"""Fully-fused Stage-I gradient path: both render levels + loss grads in
+the forward pass.
+
+The default Stage-I train step differentiates render_rays with jax.grad,
+which runs each level kernel twice (forward, then a backward that first
+recomputes the forward — ops/pallas/field_mlp.py nerf_level_vjp) and the
+deformation pair on every level's point set (64 + 128 samples/ray = 3x the
+unique points). This module restructures the train step around two facts:
+
+  1. The Stage-I loss is per-ray ANALYTIC: masked MSE + CE whose per-ray
+     weights depend only on the mask (train_stage_rays_auto.py:455-492,
+     nerf_helpers.py:14-62), and the background-supervision term is a
+     closed form in (bg, target, weights[:, -1]). So the loss cotangents
+     can be computed inside the level kernel and the whole backward runs
+     in the SAME kernel pass as the forward — activations never leave
+     VMEM, the recompute disappears (ops/pallas/level_train.py).
+  2. The fine sample set is coarse UNION importance and the deformation
+     pair + grid gradient are level-independent per point: the pair
+     forward/backward and the z-slab dGrid contraction run ONCE over the
+     262k unique points instead of 393k (the fine level consumes a
+     per-ray permutation of the union pair output; cotangents flow back
+     through the inverse permutation and sum over the shared slots).
+
+The result is exposed as ONE custom_vjp, `stage1_fused`, returning
+(loss, rgb_coarse, rgb_fine, weights_fine). Gradients for every
+differentiable input (model params, grid, driving, pose_enc, latent,
+background rays) are computed IN the forward and stashed; the backward
+just scales them by the incoming scalar loss cotangent. This is exact
+under two call-site invariants (enforced by train/stage1.py):
+
+  - rgb/weights outputs are consumed under stop_gradient (metrics and the
+    dynamic sample_prob update are reporting-only; fine z is already
+    stop_gradient'd by sample_pdf);
+  - the in-kernel cotangent formulas match the loss formula below, which
+    is the total differentiated (equivalence-tested against the
+    jax.grad-of-render_rays path in tests/test_fused_train.py).
+
+Reference hot path being replaced: nerf-pytorch/nerf/train_utils.py:72-206
++ train_stage_rays_auto.py:400-500 (torch autograd over the same math).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.nerface import (ModelSpec, build_pe_specs, encode_pose,
+                              compute_driving, level_kernel_compatible,
+                              pair_kernel_ok)
+from ..ops.pallas.field_grid import _sample_major, gather_corners
+from ..ops.pallas.field_mlp import (_pair_specs, _unfold_cond_grads,
+                                    deform_pair_forward, deform_pair_vjp,
+                                    fold_conditioning,
+                                    fold_skip_conditioning)
+from ..ops.pallas.grid_bwd import grid_dg_slab
+from ..ops.pallas.level_train import level_train_apply
+from ..ops.sampling import coarse_z_vals, sample_pdf
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedCfg:
+    """Static config of the fused train renderer (hashable)."""
+    num_coarse: int
+    num_fine: int
+    near: float
+    far: float
+    perturb: bool
+    noise_std: float
+    lindisp: bool
+    compute_dtype: str
+    bg_sup_weight: float       # background_loss_weight when supervised, 0 off
+
+
+def stage1_fused_eligible(spec: ModelSpec, render) -> bool:
+    """The fused gradient path covers the flagship training configuration;
+    anything outside it falls back to jax.grad over render_rays."""
+    return (render.use_pallas and render.fuse_composite
+            and not render.white_background
+            and spec.use_viewdirs and pair_kernel_ok(spec)
+            and spec.fine is not None and render.num_fine > 0
+            and level_kernel_compatible(render.num_coarse)
+            and level_kernel_compatible(render.num_coarse + render.num_fine))
+
+
+def ray_loss_weights(mask_s: jnp.ndarray, ce_weight: float,
+                     mouth_loss_weight: float) -> jnp.ndarray:
+    """Per-ray (R, 2) [w_l2, w_ce] such that
+    total_level_loss = sum_r w_l2(r)*||rgb-t||^2 + w_ce(r)*CE(r), which
+    equals l2 + ce_weight*ce + mouth_loss_weight*sum(masked_l2[7:9] +
+    masked_ce[7:9]) exactly (train/stage1.py _stage1_losses): the per-class
+    count normalizers depend only on the mask, never on predictions."""
+    R = mask_s.shape[0]
+    counts = jnp.sum(mask_s != 0, axis=0).astype(mask_s.dtype)
+    counts = jnp.where(counts == 0, jnp.ones_like(counts), counts)
+    mouth = jnp.sum(mask_s[:, 7:9] / counts[7:9], axis=-1)   # (R,)
+    w_l2 = 1.0 / R + mouth_loss_weight * mouth
+    w_ce = ce_weight / R + mouth_loss_weight * mouth
+    return jnp.stack([w_l2, w_ce], axis=-1)
+
+
+def _level_loss(rgb_map, tgt, lw):
+    """The scalar the in-kernel cotangents differentiate (see
+    ray_loss_weights); must stay in lock-step with
+    ops/pallas/level_train.py's g_rgb formulas."""
+    diff = jnp.sum(jnp.square(rgb_map[:, :3] - tgt[:, :3]), axis=-1)
+    ce = -jnp.sum(tgt[:, 3:15] * jnp.log(rgb_map[:, 3:15] + 1e-10), axis=-1)
+    return jnp.sum(lw[:, 0] * diff + lw[:, 1] * ce)
+
+
+# Ablation: 1 = share the pair forward/backward and the slab dGrid across
+# levels over the coarse∪fine UNION points (262k instead of 393k). Sounds
+# like a pure win but measured NET SLOWER on v5e: the bookkeeping is
+# per-ray permutations of (R, 128, 128) arrays, and XLA's take_along_axis
+# gathers at that shape run ~2.7 ms each (~8x the copy bandwidth cost) —
+# three of them eat the 3.5 ms the union saves. The shipped path instead
+# RECOMPUTES the pair on the sorted fine points (0.8 ms/131k on the MXU)
+# and runs pair-bwd/slab per level; only the (R, S) z sort remains.
+_UNION = os.environ.get("SAHS_FUSED_UNION", "0") == "1"
+
+
+def _split_sizes(vec, sizes):
+    out, o = [], 0
+    for s in sizes:
+        out.append(vec[o:o + s])
+        o += s
+    return out
+
+
+def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
+                      pose_enc, latent, ro, rd, tgt, lw, bg, key):
+    cdt = fcfg.compute_dtype
+    R = ro.shape[0]
+    Sc, Sn = fcfg.num_coarse, fcfg.num_fine
+    Sf = Sc + Sn
+    dtype = ro.dtype
+    use_grid = spec.use_spatial_embeddings
+    amb = spec.hyper.ambient_coord_dim
+    warp_pe, pts_pe, dir_pe = build_pe_specs(spec)
+    keys = jax.random.split(key, 4)
+
+    # --- conditioning (mirrors models/nerface.py deform_cond/nerf_cond) --
+    pair_parts = ([driving] if spec.warp.include_driving else []) + [pose_enc]
+    cond_pair = jnp.concatenate(pair_parts)
+
+    def nerf_cond(nerf_spec):
+        parts = []
+        if latent is not None and nerf_spec.latent_code_dim > 0:
+            parts.append(latent)
+        if nerf_spec.include_driving:
+            parts.append(driving)
+        if nerf_spec.use_pose:
+            parts.append(pose_enc)
+        return (jnp.concatenate(parts) if parts
+                else jnp.zeros((0,), dtype))
+
+    cond_c = nerf_cond(spec.coarse)
+    cond_f = nerf_cond(spec.fine)
+
+    # --- deformation pair, folded once ----------------------------------
+    wp = (spec.warp.num_layers, spec.warp.hidden_size,
+          spec.warp.skip_connect_every, 3, "tanh")
+    hp = (spec.hyper.num_layers, spec.hyper.hidden_size,
+          spec.hyper.skip_connect_every, amb, "linear")
+    pe_dim = warp_pe.raw_out
+    wspec, hspec = _pair_specs(wp, hp, pe_dim, cdt)
+    wt = fold_conditioning(params["warp"]["trunk"], cond_pair, pe_dim)
+    wt = fold_skip_conditioning(wp[1], wt, wp[2], cond_pair, pe_dim)
+    ht = fold_conditioning(params["hyper"]["trunk"], cond_pair, pe_dim)
+    ht = fold_skip_conditioning(hp[1], ht, hp[2], cond_pair, pe_dim)
+
+    def pair_fwd(pts):
+        return deform_pair_forward(wspec, hspec, pts, wt,
+                                   params["warp"]["out"], ht,
+                                   params["hyper"]["out"], warp_pe, 3, amb)
+
+    grid = params.get("spatial_embeddings") if use_grid else None
+    grid_dims = grid.shape[1:] if use_grid else None
+
+    def run_level(level_params, nerf_spec, packed, z, noise_key, cond,
+                  samples, bg_sup):
+        corners = (gather_corners(grid, packed, cdt) if use_grid else None)
+        noise = None
+        if fcfg.noise_std > 0:
+            noise = (jax.random.normal(noise_key, z.shape, dtype=z.dtype)
+                     * fcfg.noise_std)
+        return level_train_apply(
+            level_params, nerf_spec.num_layers, nerf_spec.skip_connect_every,
+            packed, rd, corners, samples, z, bg, noise, cond, tgt, lw,
+            cdt, pts_pe, dir_pe, grid_dims=grid_dims, bg_sup=bg_sup)
+
+    # --- coarse level ----------------------------------------------------
+    nearv = jnp.full((R,), fcfg.near, dtype=dtype)
+    farv = jnp.full((R,), fcfg.far, dtype=dtype)
+    z_c = coarse_z_vals(nearv, farv, Sc, lindisp=fcfg.lindisp,
+                        perturb=fcfg.perturb, key=keys[0])
+    pts_c = (ro[:, None, :] + rd[:, None, :] * z_c[..., None]).reshape(-1, 3)
+    packed_c = pair_fwd(pts_c)
+    rgb_c, w_c, gx_c, gse_c, gbg_c, grads_c, dcond_c = run_level(
+        params["coarse"], spec.coarse, packed_c, z_c, keys[1], cond_c,
+        Sc, 0.0)
+
+    # --- fine level: union points, per-ray sorted view -------------------
+    z_mid = 0.5 * (z_c[..., 1:] + z_c[..., :-1])
+    z_new = sample_pdf(z_mid, w_c[..., 1:-1], Sn, det=(not fcfg.perturb),
+                       key=keys[2])
+    if _UNION:
+        pts_n = (ro[:, None, :]
+                 + rd[:, None, :] * z_new[..., None]).reshape(-1, 3)
+        packed_n = pair_fwd(pts_n)
+    bg_sup = (fcfg.bg_sup_weight / R
+              if (fcfg.bg_sup_weight > 0 and bg is not None) else 0.0)
+    z_cat = jnp.concatenate([z_c, z_new], axis=-1)
+    if _UNION:
+        perm = jnp.argsort(z_cat, axis=-1)
+        z_f = jnp.take_along_axis(z_cat, perm, axis=-1)
+        packed_u = jnp.concatenate([packed_c.reshape(R, Sc, -1),
+                                    packed_n.reshape(R, Sn, -1)], axis=1)
+        packed_f = jnp.take_along_axis(packed_u, perm[..., None],
+                                       axis=1).reshape(R * Sf, -1)
+    else:
+        z_f = jnp.sort(z_cat, axis=-1)
+        pts_f = (ro[:, None, :]
+                 + rd[:, None, :] * z_f[..., None]).reshape(-1, 3)
+        packed_f = pair_fwd(pts_f)
+    rgb_f, w_f, gx_f, gse_f, gbg_f, grads_f, dcond_f = run_level(
+        params["fine"], spec.fine, packed_f, z_f, keys[3], cond_f,
+        Sf, bg_sup)
+
+    if _UNION:
+        # fold fine cotangents back onto the union through the inverse
+        # permutation, then ONE pair backward + ONE slab over 262k points
+        inv = jnp.argsort(perm, axis=-1)
+
+        def to_union(x_f, x_c):
+            xu = jnp.take_along_axis(x_f.reshape(R, Sf, -1),
+                                     inv[..., None], axis=1)
+            xu = xu.at[:, :Sc].add(x_c.reshape(R, Sc, -1))
+            return xu.reshape(R * Sf, -1)
+
+        gx_u = to_union(gx_f, gx_c)
+        dG = None
+        if use_grid:
+            gse_u = to_union(gse_f, gse_c)
+            dG = grid_dg_slab(
+                grid.shape,
+                _sample_major(packed_u.reshape(R * Sf, -1)[:, :3], R, Sf),
+                _sample_major(gse_u, R, Sf), cdt)
+        pts_u = jnp.concatenate([pts_c.reshape(R, Sc, 3),
+                                 pts_n.reshape(R, Sn, 3)],
+                                axis=1).reshape(-1, 3)
+        _, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
+            wspec, hspec, pts_u, wt, params["warp"]["out"], ht,
+            params["hyper"]["out"], gx_u, warp_pe, 3, amb, need_gx=False)
+    else:
+        dG = None
+        if use_grid:
+            dG = (grid_dg_slab(grid.shape,
+                               _sample_major(packed_c[:, :3], R, Sc),
+                               _sample_major(gse_c, R, Sc), cdt)
+                  + grid_dg_slab(grid.shape,
+                                 _sample_major(packed_f[:, :3], R, Sf),
+                                 _sample_major(gse_f, R, Sf), cdt))
+        _, wt_g1, wo_g1, ht_g1, ho_g1 = deform_pair_vjp(
+            wspec, hspec, pts_c, wt, params["warp"]["out"], ht,
+            params["hyper"]["out"], gx_c, warp_pe, 3, amb, need_gx=False)
+        _, wt_g2, wo_g2, ht_g2, ho_g2 = deform_pair_vjp(
+            wspec, hspec, pts_f, wt, params["warp"]["out"], ht,
+            params["hyper"]["out"], gx_f, warp_pe, 3, amb, need_gx=False)
+        add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+        wt_g, wo_g = add(wt_g1, wt_g2), add(wo_g1, wo_g2)
+        ht_g, ho_g = add(ht_g1, ht_g2), add(ho_g1, ho_g2)
+    warp_tg, dcond_w = _unfold_cond_grads(params["warp"]["trunk"], wt_g,
+                                          cond_pair, wp[2], wp[1], pe_dim)
+    hyper_tg, dcond_h = _unfold_cond_grads(params["hyper"]["trunk"], ht_g,
+                                           cond_pair, hp[2], hp[1], pe_dim)
+    dcond_pair = dcond_w + dcond_h
+
+    # --- loss (value; the kernels baked its derivative in) ---------------
+    loss = _level_loss(rgb_c, tgt, lw) + _level_loss(rgb_f, tgt, lw)
+    if bg_sup > 0.0:
+        bgerr = jnp.sum(jnp.square(bg[:, :3] - tgt[:, :3]), axis=-1)
+        loss = loss + bg_sup * jnp.sum(w_f[:, -1] * bgerr)
+
+    # --- cotangent assembly ----------------------------------------------
+    d_model = dict(jax.tree_util.tree_map(jnp.zeros_like, params))
+    d_model["coarse"] = grads_c
+    d_model["fine"] = grads_f
+    d_model["warp"] = {"trunk": warp_tg, "out": wo_g}
+    d_model["hyper"] = {"trunk": hyper_tg, "out": ho_g}
+    if use_grid:
+        d_model["spatial_embeddings"] = dG
+
+    d_driving = jnp.zeros_like(driving)
+    d_pose = jnp.zeros_like(pose_enc)
+    d_latent = jnp.zeros_like(latent) if latent is not None else None
+
+    pair_sizes = ([driving.shape[0]] if spec.warp.include_driving else []) \
+        + [pose_enc.shape[0]]
+    parts = _split_sizes(dcond_pair, pair_sizes)
+    i = 0
+    if spec.warp.include_driving:
+        d_driving = d_driving + parts[i].astype(d_driving.dtype)
+        i += 1
+    d_pose = d_pose + parts[i].astype(d_pose.dtype)
+
+    for nerf_spec, dcond in ((spec.coarse, dcond_c), (spec.fine, dcond_f)):
+        sizes = []
+        has_lat = latent is not None and nerf_spec.latent_code_dim > 0
+        if has_lat:
+            sizes.append(latent.shape[0])
+        if nerf_spec.include_driving:
+            sizes.append(driving.shape[0])
+        if nerf_spec.use_pose:
+            sizes.append(pose_enc.shape[0])
+        parts = _split_sizes(dcond, sizes)
+        i = 0
+        if has_lat:
+            d_latent = d_latent + parts[i].astype(d_latent.dtype)
+            i += 1
+        if nerf_spec.include_driving:
+            d_driving = d_driving + parts[i].astype(d_driving.dtype)
+            i += 1
+        if nerf_spec.use_pose:
+            d_pose = d_pose + parts[i].astype(d_pose.dtype)
+
+    d_bg = None
+    if bg is not None:
+        d_bg = (gbg_c + gbg_f).astype(bg.dtype)
+
+    out = (loss, rgb_c[:, :15], rgb_f[:, :15], w_f)
+    in_zeros = jax.tree_util.tree_map(jnp.zeros_like, (ro, rd, tgt, lw))
+    residuals = (d_model, d_driving, d_pose, d_latent, d_bg, in_zeros, key)
+    return out, residuals
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def stage1_fused(spec: ModelSpec, fcfg: FusedCfg, params, driving, pose_enc,
+                 latent, ro, rd, tgt, lw, bg, key):
+    """Both render levels + Stage-I loss with gradients computed in the
+    forward. Args: params = the model param dict; driving = computed
+    driving vector (AudioNet output / expression); pose_enc (36,);
+    latent (L,)|None; ro/rd (R,3) rays; tgt (R,15) [target rgb | seg mask];
+    lw (R,2) per-ray loss weights (ray_loss_weights); bg (R,15)|None
+    background prior rays; key = PRNG key for z perturb/importance/noise.
+
+    Returns (loss, rgb_coarse (R,15), rgb_fine (R,15), weights_fine
+    (R, Sc+Sn)). ONLY the loss output may be consumed differentiably —
+    the call site must stop_gradient the other three (their cotangents are
+    ignored by the backward; see module docstring)."""
+    out, _ = _stage1_fused_fwd(spec, fcfg, params, driving, pose_enc,
+                               latent, ro, rd, tgt, lw, bg, key)
+    return out
+
+
+def _stage1_fused_bwd(spec, fcfg, residuals, cts):
+    (d_model, d_driving, d_pose, d_latent, d_bg, in_zeros, key) = residuals
+    ct = cts[0]      # scalar loss cotangent; rgb/weights cts are zero by
+                     # the call-site stop_gradient contract
+    scale = lambda t: jax.tree_util.tree_map(lambda g: ct * g, t)
+    d_ro, d_rd, d_tgt, d_lw = in_zeros
+    d_key = (np.zeros(key.shape, dtype=jax.dtypes.float0)
+             if not jnp.issubdtype(key.dtype, jnp.floating)
+             else jnp.zeros(key.shape, key.dtype))
+    return (scale(d_model), ct * d_driving, ct * d_pose,
+            scale(d_latent), d_ro, d_rd, d_tgt, d_lw, scale(d_bg), d_key)
+
+
+stage1_fused.defvjp(lambda spec, fcfg, *a: _stage1_fused_fwd(spec, fcfg, *a),
+                    _stage1_fused_bwd)

@@ -70,6 +70,7 @@ class TrainSettings:
     lr: float
     lr_decay: int
     lr_decay_factor: float
+    fused_grads: bool = True
 
     @classmethod
     def from_config(cls, cfg: Config) -> "TrainSettings":
@@ -97,6 +98,7 @@ class TrainSettings:
             lr=float(cfg.optimizer.lr),
             lr_decay=int(cfg.scheduler.lr_decay),
             lr_decay_factor=float(cfg.scheduler.lr_decay_factor),
+            fused_grads=bool(getattr(rt, "fused_grads", True)),
         )
 
 
@@ -200,6 +202,9 @@ def train_step(
         bg_rays = constrain(bg_rays)
 
     cw = class_weights(ts)
+    from .fused import (FusedCfg, ray_loss_weights, stage1_fused,
+                        stage1_fused_eligible)
+    use_fused = ts.fused_grads and stage1_fused_eligible(spec, ts.render)
 
     def loss_fn(params: Params):
         bg_r = bg_rays
@@ -209,21 +214,59 @@ def train_step(
         if ts.train_latent_codes and not ts.disable_latent_codes and \
                 "latent_codes" in params:
             latent = params["latent_codes"][batch["frame_idx"]]
-        res = render_rays(params["model"], spec, ts.render, ro, rd,
-                          ts.near, ts.far, batch["driving"], batch["pose"],
-                          key=k_render, background_prior=bg_r,
-                          latent_code=latent)
+
+        if use_fused:
+            # Fully-fused gradient path (train/fused.py): both level
+            # kernels compute the loss cotangents in-kernel and emit all
+            # gradients in the FORWARD; rgb/weights come back for
+            # metrics/sampling only and MUST stay stop-gradiented (the
+            # custom_vjp ignores their cotangents).
+            from ..models.nerface import compute_driving, encode_pose
+            driving = compute_driving(params["model"], spec,
+                                      batch["driving"])
+            pose_enc = encode_pose(batch["pose"])
+            tgt15 = jnp.concatenate([target_s[..., :3], mask_s], axis=-1)
+            lw = ray_loss_weights(mask_s, ts.ce_weight,
+                                  ts.mouth_loss_weight)
+            fcfg = FusedCfg(
+                num_coarse=ts.render.num_coarse,
+                num_fine=ts.render.num_fine,
+                near=ts.near, far=ts.far,
+                perturb=ts.render.perturb,
+                noise_std=ts.render.radiance_field_noise_std,
+                lindisp=ts.render.lindisp,
+                compute_dtype=ts.render.compute_dtype,
+                bg_sup_weight=(ts.background_loss_weight
+                               if (ts.supervised_train_background
+                                   and bg_r is not None) else 0.0))
+            loss_lv, rgb_c, rgb_f, w_f = stage1_fused(
+                spec, fcfg, params["model"], driving, pose_enc, latent,
+                ro, rd, tgt15, lw, bg_r, k_render)
+            rgb_c, rgb_f, w_f = map(jax.lax.stop_gradient,
+                                    (rgb_c, rgb_f, w_f))
+            rgb_coarse, rgb_fine, weights = rgb_c, rgb_f, w_f
+            loss = loss_lv
+        else:
+            res = render_rays(params["model"], spec, ts.render, ro, rd,
+                              ts.near, ts.far, batch["driving"],
+                              batch["pose"], key=k_render,
+                              background_prior=bg_r, latent_code=latent)
+            rgb_coarse, rgb_fine = res.rgb_coarse, res.rgb_fine
+            weights = res.weights
+            loss = None
 
         c_total, c_l2, c_ce, c_ml2w, c_mcew = _stage1_losses(
-            ts, res.rgb_coarse, mask_s, target_s, cw)
-        loss = c_total
+            ts, rgb_coarse, mask_s, target_s, cw)
+        if loss is None:
+            loss = c_total
         f_l2 = c_l2
         f_ce = c_ce
         prob_num = c_ml2w + c_mcew
-        if res.rgb_fine is not None:
+        if rgb_fine is not None:
             f_total, f_l2, f_ce, f_ml2w, f_mcew = _stage1_losses(
-                ts, res.rgb_fine, mask_s, target_s, cw)
-            loss = loss + f_total
+                ts, rgb_fine, mask_s, target_s, cw)
+            if not use_fused:
+                loss = loss + f_total
             prob_num = prob_num + f_ml2w + f_mcew
 
         if ts.regularize_latent_codes and latent is not None:
@@ -236,9 +279,12 @@ def train_step(
             per_ray = jnp.sum(
                 jnp.square(bg_r[..., :3] - target_s[..., :3]), axis=-1)
             # weights[:, -1] — contribution of the background sample per ray
-            bg_loss = jnp.mean(per_ray * res.weights[:, -1]) * \
+            bg_loss = jnp.mean(per_ray * weights[:, -1]) * \
                 ts.background_loss_weight
-            loss = loss + bg_loss
+            if not use_fused:
+                # fused path: the bg term (value AND gradient) is already
+                # inside loss_lv; here it is reporting-only.
+                loss = loss + bg_loss
 
         new_prob = prob_num / jnp.sum(prob_num)
         aux = {

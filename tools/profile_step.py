@@ -107,6 +107,15 @@ def main():
             return st
         time_scan("full_fuse", body_f, state, batch)
 
+    if "full_unfused_grads" in variants:
+        cfg_u = make_cfg(fused_grads=False)
+        ts_u = TrainSettings.from_config(cfg_u)
+
+        def body_u(st, b, k):
+            st, _ = train_step(st, b, k, spec, ts_u, optimizer)
+            return st
+        time_scan("full_unfused_grads", body_u, state, batch)
+
     if "full_nofuse" in variants:
         cfg_nf = make_cfg(fuse_composite=False)
         ts_nf = TrainSettings.from_config(cfg_nf)
