@@ -40,7 +40,10 @@ def gather_corners(grid: jnp.ndarray, coords: jnp.ndarray,
     gdt = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     table = pack_corner_table(grid, gather_dtype=gdt)
     rows, _, _ = _cell_geometry(coords, grid.shape[1:])
-    return jnp.take(table, rows, axis=0)
+    # rows are already clipped into the table by _cell_geometry; mode="clip"
+    # (vs the default "fill") drops XLA's out-of-bounds predicate + select
+    # over the gathered (P, 8C) block (~1 ms/step at fine-level counts)
+    return jnp.take(table, rows, axis=0, mode="clip")
 
 
 def _sample_major(x: jnp.ndarray, R: int, S: int) -> jnp.ndarray:

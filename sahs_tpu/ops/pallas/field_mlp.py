@@ -707,6 +707,14 @@ def deform_mlp_apply_fused(params, num_layers: int, hidden: int,
 # Fused warp+hyper pair: ONE kernel, ONE shared in-kernel PE pass
 # ===========================================================================
 
+# The pair kernels are narrow (128/64-wide trunks, 12 short matmuls per
+# tile) and run well below the deep NeRF kernels' MXU rate at 1024-row
+# tiles; larger tiles amortize per-tile weight setup and lengthen each
+# matmul. VMEM is no constraint here (pair weights ~100 KB).
+PAIR_TILE = int(os.environ.get("SAHS_PAIR_TILE", "1024"))
+PAIR_BWD_TILE = int(os.environ.get("SAHS_PAIR_BWD_TILE", "1024"))
+
+
 def _pair_specs(wp, hp, pe_dim, compute_dtype):
     """(warp, hyper) TrunkSpecs from the (num_layers, hidden, skip, out_dim,
     out_act) int tuples."""
@@ -732,7 +740,7 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     ever materializes between the kernels (a (P, small) f32 array is
     lane-padded to 128 in HBM — every glue op on one costs ~134 MB)."""
     P = x.shape[0]
-    Pp = _rup(P, TILE)
+    Pp = _rup(P, PAIR_TILE)
     in_width = pe_spec.in_width
     xp = jnp.pad(x, ((0, Pp - P), (0, in_width - x.shape[1])))
     w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
@@ -764,13 +772,13 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     flat = w_flat + h_flat
     out = pl.pallas_call(
         kernel,
-        grid=(Pp // TILE,),
-        in_specs=[pl.BlockSpec((TILE, in_width), lambda i: (i, 0),
+        grid=(Pp // PAIR_TILE,),
+        in_specs=[pl.BlockSpec((PAIR_TILE, in_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
                  + _pe_block_specs(pe_spec),
-        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((PAIR_TILE, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pp, 128), x.dtype),
         interpret=_interpret(),
@@ -788,7 +796,7 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     gx directly. Returns (gx, w_trunk_grads, w_out_grads, h_trunk_grads,
     h_out_grads)."""
     P = x.shape[0]
-    Pp = _rup(P, BWD_TILE)
+    Pp = _rup(P, PAIR_BWD_TILE)
     raw_in = x.shape[1]
     in_width = pe_spec.in_width
     xp = jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))
@@ -799,7 +807,7 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     flat = w_flat + h_flat
     pe_in = _pe_input_arrays(pe_spec)
     n_pe = len(pe_in)
-    n_grid = Pp // BWD_TILE
+    n_grid = Pp // PAIR_BWD_TILE
     cdt = jnp.dtype(wspec.compute_dtype)
 
     def kernel(x_ref, g_ref, *refs):
@@ -854,16 +862,16 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
 
     out_shapes = ([jax.ShapeDtypeStruct((Pp, in_width), x.dtype)]
                   + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
-    out_specs = ([pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
+    out_specs = ([pl.BlockSpec((PAIR_BWD_TILE, in_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat])
     outs = pl.pallas_call(
         kernel,
         grid=(n_grid,),
-        in_specs=[pl.BlockSpec((BWD_TILE, in_width), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((PAIR_BWD_TILE, in_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((BWD_TILE, 128), lambda i: (i, 0),
+                  pl.BlockSpec((PAIR_BWD_TILE, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]

@@ -195,6 +195,95 @@ def grid_dg_slab(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("grid_shape", "compute_dtype"))
+def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
+                        compute_dtype: str = "bfloat16") -> jnp.ndarray:
+    """grid_dg_slab on ONE packed input emitted by the train-level kernel
+    (ops/pallas/level_train.py): packed (P, 64) rows
+    [x_hi(3) | x_lo(3) | x_lo2(3) | gse(C=32) | pad]. Coords reconstruct
+    as hi + lo + lo2 — a 3-level bf16 split carrying 24 mantissa bits, so
+    the cell geometry matches the f32 coords to below half an f32 ulp (in
+    f32 mode the lo/lo2 columns are zero and hi is the native f32 coord,
+    exact). Halves the slab's input traffic and removes
+    the separate (P, 3) f32 sample-major transpose (lane-padded to 128,
+    ~1.4 ms/step) from the hot path. Same contraction + z-slab predication
+    as grid_dg_slab."""
+    C, D, H, W = grid_shape
+    assert D % 4 == 0 and C == 32 and packed.shape[1] == 64
+    P = packed.shape[0]
+    f32 = jnp.float32
+    bf16_mm = compute_dtype == "bfloat16"
+    tile = 1024
+    Pp = _rup(P, tile)
+    # zero padding rows: coords 0 are in-band but their gse is 0, so they
+    # contribute exactly nothing to the contraction
+    pp = jnp.pad(packed, ((0, Pp - P), (0, 0)))
+    DH, WC = D * H, W * C
+    n_tiles = Pp // tile
+
+    def kernel(p_ref, dg_ref):
+        t = pl.program_id(0)
+        pk = p_ref[:]
+        cx = (pk[:, 0:1].astype(f32) + pk[:, 3:4].astype(f32)
+              + pk[:, 6:7].astype(f32))
+        cy = (pk[:, 1:2].astype(f32) + pk[:, 4:5].astype(f32)
+              + pk[:, 7:8].astype(f32))
+        cz = (pk[:, 2:3].astype(f32) + pk[:, 5:6].astype(f32)
+              + pk[:, 8:9].astype(f32))
+        gt = pk[:, 9:9 + C].astype(f32)
+        Ax, _, _ = _axis_weight_tile(cx, W, f32)
+        Ay, _, _ = _axis_weight_tile(cy, H, f32)
+        iz = (cz + 1.0) * 0.5 * (D - 1)
+        i0z = jnp.floor(iz)
+        fz = iz - i0z
+        mdt = jnp.bfloat16 if bf16_mm else f32
+        t2 = _expand_cols_mxu(Ax.astype(mdt), gt.astype(mdt), W,
+                              f32).astype(mdt)  # (T, WC)
+        Ay = Ay.astype(mdt)
+
+        @pl.when(t == 0)
+        def _init():
+            dg_ref[:] = jnp.zeros_like(dg_ref)
+
+        in_band = (i0z >= -1) & (i0z <= D - 1)
+        lo_all = jnp.where(in_band, i0z, D + 99.0)
+        hi_all = jnp.where(in_band, i0z + 1.0, -99.0)
+        lo = jnp.min(lo_all)
+        hi = jnp.max(hi_all)
+
+        for kgrp in range(D // 4):
+            z0 = 4 * kgrp
+
+            @pl.when((hi >= z0) & (lo <= z0 + 3))
+            def _():
+                idx = (jax.lax.broadcasted_iota(jnp.int32, (tile, 4), 1)
+                       .astype(f32) + z0)
+                Azg = (jnp.where(idx == i0z, 1.0 - fz, 0.0)
+                       + jnp.where(idx == i0z + 1.0, fz, 0.0))
+                t1 = _expand_cols_mxu(Azg.astype(mdt), Ay, 4,
+                                      f32).astype(mdt)   # (T, 4H)
+                contrib = jax.lax.dot_general(
+                    t1, t2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=(jax.lax.Precision.DEFAULT if bf16_mm
+                               else jax.lax.Precision.HIGHEST))
+                dg_ref[z0 * H:(z0 + 4) * H, :] += contrib
+
+    dg = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((tile, 64), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((DH, WC), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((DH, WC), f32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(pp)
+    return dg.reshape(D, H, W, C).transpose(3, 0, 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_shape", "compute_dtype"))
 def grid_bwd_fused(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
                    vals: jnp.ndarray, compute_dtype: str = "float32"):
     """coords (P, >=3) raw [-1,1] xyz (extra lanes ignored), g (P, C)

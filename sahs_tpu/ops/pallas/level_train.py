@@ -176,7 +176,31 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                     axis=-1)
             gbg_ref[:] = g_bg.astype(gbg_ref.dtype)
         if gse_ref is not None and gse_val is not None:
-            gse_ref[:] = gse_val.astype(gse_ref.dtype)
+            if spec.corner_interp:
+                # Packed z-slab-dGrid input [x_hi|x_lo|x_lo2|gse] (see
+                # grid_bwd.grid_dg_slab_packed): emitting the coords
+                # alongside gse here removes the separate lane-padded
+                # (P, 3) f32 sample-major transpose from the hot path and
+                # halves the slab kernel's input traffic. The 3-level
+                # bf16 split carries 24 mantissa bits so the slab's cell
+                # geometry matches this kernel's interp to <0.5 f32 ulp.
+                x3 = x_raw[:, :3].astype(jnp.float32)
+                T_ = x3.shape[0]
+                if cdt == jnp.bfloat16:
+                    hi = x3.astype(cdt)
+                    r1 = x3 - hi.astype(jnp.float32)
+                    lo = r1.astype(cdt)
+                    lo2 = (r1 - lo.astype(jnp.float32)).astype(cdt)
+                else:
+                    hi = x3
+                    lo = jnp.zeros((T_, 3), cdt)
+                    lo2 = jnp.zeros((T_, 3), cdt)
+                row = jnp.concatenate(
+                    [hi.astype(cdt), lo, lo2, gse_val.astype(cdt),
+                     jnp.zeros((T_, 64 - 9 - spec.se_dim), cdt)], axis=-1)
+                gse_ref[:] = row.astype(gse_ref.dtype)
+            else:
+                gse_ref[:] = gse_val.astype(gse_ref.dtype)
         gx_ref[:] = gx.astype(gx_ref.dtype)
         _accumulate(dw_refs, grads, pl.program_id(0) == 0)
 
@@ -200,9 +224,10 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                  pl.BlockSpec((BWD_TILE, gx_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     if n_se:
-        out_shapes.append(jax.ShapeDtypeStruct((Pp, spec.se_dim),
-                                               pts_raw.dtype))
-        out_specs.append(pl.BlockSpec((BWD_TILE, spec.se_dim),
+        gse_w = 64 if spec.corner_interp else spec.se_dim
+        gse_dt = cdt if spec.corner_interp else jnp.dtype(pts_raw.dtype)
+        out_shapes.append(jax.ShapeDtypeStruct((Pp, gse_w), gse_dt))
+        out_specs.append(pl.BlockSpec((BWD_TILE, gse_w),
                                       lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
     if has_bg:
@@ -244,7 +269,11 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     k = 3
     gse = None
     if n_se:
-        gse = outs[k][:P].astype(pts_raw.dtype)
+        # corner_interp mode: the packed [x_hi|x_lo|x_lo2|gse] slab input,
+        # kept in the compute dtype (bf16 transposes at half the traffic)
+        gse = outs[k][:P]
+        if not spec.corner_interp:
+            gse = gse.astype(pts_raw.dtype)
         k += 1
     g_bg = None
     if has_bg:

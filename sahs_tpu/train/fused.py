@@ -57,7 +57,7 @@ from ..ops.pallas.field_mlp import (_pair_specs, _unfold_cond_grads,
                                     deform_pair_forward, deform_pair_vjp,
                                     fold_conditioning,
                                     fold_skip_conditioning)
-from ..ops.pallas.grid_bwd import grid_dg_slab
+from ..ops.pallas.grid_bwd import grid_dg_slab, grid_dg_slab_packed
 from ..ops.pallas.level_train import level_train_apply
 from ..ops.sampling import coarse_z_vals, sample_pdf
 
@@ -194,11 +194,17 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
             cdt, pts_pe, dir_pe, grid_dims=grid_dims, bg_sup=bg_sup)
 
     # --- coarse level ----------------------------------------------------
+    # Points are built directly at the pair kernel's 8-wide input width:
+    # XLA lane-pads (P, 3) f32 arrays to 128 lanes physically, so the
+    # separate (P,3)->(P,8) pad was a full extra pass (~0.4 ms/level).
+    ro8 = jnp.pad(ro, ((0, 0), (0, 8 - ro.shape[1])))
+    rd8 = jnp.pad(rd, ((0, 0), (0, 8 - rd.shape[1])))
     nearv = jnp.full((R,), fcfg.near, dtype=dtype)
     farv = jnp.full((R,), fcfg.far, dtype=dtype)
     z_c = coarse_z_vals(nearv, farv, Sc, lindisp=fcfg.lindisp,
                         perturb=fcfg.perturb, key=keys[0])
-    pts_c = (ro[:, None, :] + rd[:, None, :] * z_c[..., None]).reshape(-1, 3)
+    pts_c = (ro8[:, None, :] + rd8[:, None, :] * z_c[..., None]
+             ).reshape(-1, 8)
     packed_c = pair_fwd(pts_c)
     rgb_c, w_c, gx_c, gse_c, gbg_c, grads_c, dcond_c = run_level(
         params["coarse"], spec.coarse, packed_c, z_c, keys[1], cond_c,
@@ -209,8 +215,8 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
     z_new = sample_pdf(z_mid, w_c[..., 1:-1], Sn, det=(not fcfg.perturb),
                        key=keys[2])
     if _UNION:
-        pts_n = (ro[:, None, :]
-                 + rd[:, None, :] * z_new[..., None]).reshape(-1, 3)
+        pts_n = (ro8[:, None, :]
+                 + rd8[:, None, :] * z_new[..., None]).reshape(-1, 8)
         packed_n = pair_fwd(pts_n)
     bg_sup = (fcfg.bg_sup_weight / R
               if (fcfg.bg_sup_weight > 0 and bg is not None) else 0.0)
@@ -224,8 +230,8 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                                        axis=1).reshape(R * Sf, -1)
     else:
         z_f = jnp.sort(z_cat, axis=-1)
-        pts_f = (ro[:, None, :]
-                 + rd[:, None, :] * z_f[..., None]).reshape(-1, 3)
+        pts_f = (ro8[:, None, :]
+                 + rd8[:, None, :] * z_f[..., None]).reshape(-1, 8)
         packed_f = pair_fwd(pts_f)
     rgb_f, w_f, gx_f, gse_f, gbg_f, grads_f, dcond_f = run_level(
         params["fine"], spec.fine, packed_f, z_f, keys[3], cond_f,
@@ -245,26 +251,28 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
         gx_u = to_union(gx_f, gx_c)
         dG = None
         if use_grid:
-            gse_u = to_union(gse_f, gse_c)
+            # gse arrives packed ([x_hi|x_lo|x_lo2|gse], level_train.py);
+            # unpack the gse block for the union sum
+            C_ = grid.shape[0]
+            gse_u = to_union(gse_f[:, 9:9 + C_].astype(jnp.float32),
+                             gse_c[:, 9:9 + C_].astype(jnp.float32))
             dG = grid_dg_slab(
                 grid.shape,
                 _sample_major(packed_u.reshape(R * Sf, -1)[:, :3], R, Sf),
                 _sample_major(gse_u, R, Sf), cdt)
-        pts_u = jnp.concatenate([pts_c.reshape(R, Sc, 3),
-                                 pts_n.reshape(R, Sn, 3)],
-                                axis=1).reshape(-1, 3)
+        pts_u = jnp.concatenate([pts_c.reshape(R, Sc, 8),
+                                 pts_n.reshape(R, Sn, 8)],
+                                axis=1).reshape(-1, 8)
         _, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
             wspec, hspec, pts_u, wt, params["warp"]["out"], ht,
             params["hyper"]["out"], gx_u, warp_pe, 3, amb, need_gx=False)
     else:
         dG = None
         if use_grid:
-            dG = (grid_dg_slab(grid.shape,
-                               _sample_major(packed_c[:, :3], R, Sc),
-                               _sample_major(gse_c, R, Sc), cdt)
-                  + grid_dg_slab(grid.shape,
-                                 _sample_major(packed_f[:, :3], R, Sf),
-                                 _sample_major(gse_f, R, Sf), cdt))
+            dG = (grid_dg_slab_packed(grid.shape,
+                                      _sample_major(gse_c, R, Sc), cdt)
+                  + grid_dg_slab_packed(grid.shape,
+                                        _sample_major(gse_f, R, Sf), cdt))
         _, wt_g1, wo_g1, ht_g1, ho_g1 = deform_pair_vjp(
             wspec, hspec, pts_c, wt, params["warp"]["out"], ht,
             params["hyper"]["out"], gx_c, warp_pe, 3, amb, need_gx=False)

@@ -113,10 +113,17 @@ def make_optimizer(ts: TrainSettings) -> optax.GradientTransformation:
     (train_stage_rays_auto.py:504-509)."""
     def schedule(step):
         return ts.lr * ts.lr_decay_factor ** (step / (ts.lr_decay * 1000.0))
-    # optax.flatten: run the adam math on ONE concatenated vector instead of
-    # ~80 pytree leaves — the per-leaf kernel-launch overhead of a deep
-    # pytree measurably dominates the update cost on TPU.
-    return optax.flatten(optax.adam(learning_rate=schedule))
+    # Plain per-leaf adam. Earlier rounds shipped optax.flatten (one
+    # concatenated vector) against per-leaf dispatch overhead, but inside
+    # the fully-jitted step XLA fuses the per-leaf update fine while the
+    # flatten ravel/concat showed up as a 1.4 ms/step data-formatting op
+    # in the r5 device trace (measured: 37.3 -> 36.3 ms/step without it).
+    # SAHS_OPT_FLATTEN=1 restores the old behavior (note: checkpoints
+    # store opt_state, so the two variants' checkpoints don't interchange).
+    import os
+    if os.environ.get("SAHS_OPT_FLATTEN", "0") == "1":
+        return optax.flatten(optax.adam(learning_rate=schedule))
+    return optax.adam(learning_rate=schedule)
 
 
 def init_train_state(key: jax.Array, spec: ModelSpec, ts: TrainSettings,
