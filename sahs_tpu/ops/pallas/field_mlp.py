@@ -715,6 +715,28 @@ PAIR_TILE = int(os.environ.get("SAHS_PAIR_TILE", "1024"))
 PAIR_BWD_TILE = int(os.environ.get("SAHS_PAIR_BWD_TILE", "1024"))
 
 
+def _pts_from_rays_tile(o_blk, d_blk, z_blk, S: int, tile: int, in_width):
+    """In-kernel per-point positions from per-ray data: (G, 8) origins and
+    directions + (G, S) z -> (tile, in_width) [o + d*z | zeros]. The 0/1
+    expand/sel dots run at HIGHEST precision (tiny shapes; exact copy of
+    f32 ray data). Re-ablated from r4 (commit efa276a): with the fused
+    train path the (P, 8) position array (physically lane-padded to 128
+    lanes in HBM) never needs to exist."""
+    f32 = jnp.float32
+    expand = _ray_expand(tile, S, f32)
+    hp = jax.lax.Precision.HIGHEST
+    o_pt = jnp.dot(expand, o_blk[:, :in_width].astype(f32),
+                   preferred_element_type=f32, precision=hp)
+    d_pt = jnp.dot(expand, d_blk[:, :in_width].astype(f32),
+                   preferred_element_type=f32, precision=hp)
+    zfull = jnp.dot(expand, z_blk.astype(f32),
+                    preferred_element_type=f32, precision=hp)   # (tile, S)
+    sel = _sel_matrix(tile, S, f32)
+    z_pt = jnp.sum(zfull * sel, axis=-1, keepdims=True)
+    # padded o/d columns are zero -> 0 + 0*z = 0, matching zero-padded pts
+    return o_pt + d_pt * z_pt
+
+
 def _pair_specs(wp, hp, pe_dim, compute_dtype):
     """(warp, hyper) TrunkSpecs from the (num_layers, hidden, skip, out_dim,
     out_act) int tuples."""
@@ -730,7 +752,7 @@ def _pair_specs(wp, hp, pe_dim, compute_dtype):
 def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                         w_trunk, w_out, h_trunk, h_out,
                         pe_spec: "PESpec", wo_dim: int,
-                        ho_dim: int) -> jnp.ndarray:
+                        ho_dim: int, rays=None) -> jnp.ndarray:
     """Both deformation MLPs on the SAME in-kernel PE of the packed raw
     coords. Returns (P, 128) packed canonical hyper-points:
     cols [0:wo_dim] = x + warp(x) (the warped coords — the +x residual is
@@ -738,23 +760,53 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     zero. This layout is exactly the downstream NeRF kernel's packed raw
     input and the grid sampler's coordinate block, so no XLA concat/pad
     ever materializes between the kernels (a (P, small) f32 array is
-    lane-padded to 128 in HBM — every glue op on one costs ~134 MB)."""
-    P = x.shape[0]
-    Pp = _rup(P, PAIR_TILE)
+    lane-padded to 128 in HBM — every glue op on one costs ~134 MB).
+
+    rays=(o (R,8), d (R,8), z (R,S), S): points are built IN-kernel from
+    per-ray origin/direction + z and the per-point position array never
+    exists in HBM at all; x is ignored."""
     in_width = pe_spec.in_width
-    xp = jnp.pad(x, ((0, Pp - P), (0, in_width - x.shape[1])))
+    if rays is None:
+        P = x.shape[0]
+        Pp = _rup(P, PAIR_TILE)
+        xp = jnp.pad(x, ((0, Pp - P), (0, in_width - x.shape[1])))
+        pt_in = [xp]
+        out_dtype = x.dtype
+        S = 0
+    else:
+        o, d, z, S = rays
+        assert PAIR_TILE % S == 0
+        R = d.shape[0]
+        P = R * S
+        Pp = _rup(P, PAIR_TILE)
+        Rp = Pp // S
+        op = jnp.pad(o.astype(jnp.float32),
+                     ((0, Rp - R), (0, 8 - o.shape[1])))
+        dp = jnp.pad(d.astype(jnp.float32),
+                     ((0, Rp - R), (0, 8 - d.shape[1])))
+        zp = jnp.pad(z.astype(jnp.float32), ((0, Rp - R), (0, 0)))
+        pt_in = [op, dp, zp]
+        out_dtype = jnp.float32
     w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
     h_flat = _flatten_trunk_weights(hspec, h_trunk, h_out)
     n_w, n_h = len(w_flat), len(h_flat)
     pe_in = _pe_input_arrays(pe_spec)
     cdt = jnp.dtype(wspec.compute_dtype)
+    n_pt = len(pt_in)
 
-    def kernel(x_ref, *refs):
+    def kernel(*allrefs):
+        pt_refs = allrefs[:n_pt]
+        refs = allrefs[n_pt:]
         w_refs = refs[:n_w]
         h_refs = refs[n_w:n_w + n_h]
         pe_refs = refs[n_w + n_h:n_w + n_h + len(pe_in)]
         o_ref = refs[n_w + n_h + len(pe_in)]
-        x_raw = x_ref[:]
+        if rays is None:
+            x_raw = pt_refs[0][:]
+        else:
+            x_raw = _pts_from_rays_tile(pt_refs[0][:], pt_refs[1][:],
+                                        pt_refs[2][:], S, PAIR_TILE,
+                                        in_width)
         pe = _pe_apply(x_raw, pe_refs).astype(cdt)
         ws, bs, wo, bo = _unflatten_trunk_weights(wspec, [r[:] for r in w_refs])
         hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, [r[:] for r in h_refs])
@@ -769,37 +821,119 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                        warped.dtype)], axis=-1)
         o_ref[:] = out.astype(o_ref.dtype)
 
+    if rays is None:
+        pt_specs = [pl.BlockSpec((PAIR_TILE, in_width), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+    else:
+        G = PAIR_TILE // S
+        pt_specs = [pl.BlockSpec((G, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((G, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((G, S), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
     flat = w_flat + h_flat
     out = pl.pallas_call(
         kernel,
         grid=(Pp // PAIR_TILE,),
-        in_specs=[pl.BlockSpec((PAIR_TILE, in_width), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
+        in_specs=pt_specs
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
                  + _pe_block_specs(pe_spec),
         out_specs=pl.BlockSpec((PAIR_TILE, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Pp, 128), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Pp, 128), out_dtype),
         interpret=_interpret(),
-    )(xp, *flat, *pe_in)
+    )(*pt_in, *flat, *pe_in)
     return out[:P]
+
+
+def _pair_bwd_math(wspec: TrunkSpec, hspec: TrunkSpec, x_raw, g_t,
+                   w_vals, h_vals, pe_refs, wo_dim: int, ho_dim: int,
+                   need_gx: bool):
+    """Pair backward on VMEM values: recompute both trunks' forward from
+    the shared PE, then backprop the packed cotangent g_t (T, >=wo+ho)
+    [warped | ambient]. Returns (gx (T, in_width)|None, grads list in
+    w_flat + h_flat order). Shared between deform_pair_vjp and the
+    pair-folded train-level kernel (ops/pallas/level_train.py)."""
+    cdt = jnp.dtype(wspec.compute_dtype)
+    tile = g_t.shape[0]
+    ws, bs, wo, bo = _unflatten_trunk_weights(wspec, w_vals)
+    hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, h_vals)
+    pe = _pe_apply(x_raw, pe_refs)
+    g_w = jnp.concatenate(
+        [g_t[:, :wo_dim],
+         jnp.zeros((tile, 128 - wo_dim), g_t.dtype)], axis=-1)
+    g_h = jnp.concatenate(
+        [g_t[:, wo_dim:wo_dim + ho_dim],
+         jnp.zeros((tile, 128 - ho_dim), g_t.dtype)], axis=-1)
+
+    def back(spec, ws_, bs_, wo_, bo_, gout):
+        h, acts = _trunk_forward(spec, pe, ws_, bs_, keep=True)
+        y = _act(spec.out_act)(_mm(h, wo_, cdt) + bo_)
+        gz = gout * _dact_from_out(spec.out_act)(y)
+        dwo = _mmT(h, gz, cdt)
+        dbo = jnp.sum(gz, axis=0, keepdims=True)
+        ga = _mm(gz, wo_.T, cdt)
+        gx, dws, dbs = _trunk_backward(spec, pe, ws_, bs_, acts, ga,
+                                       need_gx=need_gx)
+        grads = []
+        for i in range(spec.num_layers):
+            if i == spec.skip_every and i > 0:
+                grads.extend([dws[i][0], dws[i][1]])
+            else:
+                grads.append(dws[i])
+            grads.append(dbs[i])
+        grads.extend([dwo, dbo])
+        return gx, grads
+
+    gpe_w, grads_w = back(wspec, ws, bs, wo, bo, g_w)
+    gpe_h, grads_h = back(hspec, hw, hb, hwo, hbo, g_h)
+    gx = None
+    if need_gx:
+        gx = _pe_bwd(x_raw, gpe_w + gpe_h, pe_refs)
+        # +x residual of the warped coords
+        gx = gx + jnp.concatenate(
+            [g_t[:, :wo_dim],
+             jnp.zeros((tile, gx.shape[1] - wo_dim), gx.dtype)], axis=-1)
+    return gx, grads_w + grads_h
 
 
 def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                     w_trunk, w_out, h_trunk, h_out, g: jnp.ndarray,
                     pe_spec: "PESpec", wo_dim: int, ho_dim: int,
-                    need_gx: bool = True):
+                    need_gx: bool = True, rays=None):
     """Backward of deform_pair_forward; g is (P, 128) in the packed output
     layout [warped | ambient]. Shares ONE PE recompute and ONE PE backward
     between the two trunks; the +x residual contributes g's warped block to
     gx directly. Returns (gx, w_trunk_grads, w_out_grads, h_trunk_grads,
-    h_out_grads)."""
-    P = x.shape[0]
-    Pp = _rup(P, PAIR_BWD_TILE)
-    raw_in = x.shape[1]
+    h_out_grads).
+
+    rays=(o, d, z, S): positions are rebuilt IN-kernel from the per-ray
+    data (x is ignored; requires need_gx=False — the fused train path's
+    sample positions are camera-derived and carry no gradient)."""
     in_width = pe_spec.in_width
-    xp = jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))
+    if rays is not None:
+        assert not need_gx
+        o, d, z, S = rays
+        assert PAIR_BWD_TILE % S == 0
+        P = g.shape[0]
+        Pp = _rup(P, PAIR_BWD_TILE)
+        Rp = Pp // S
+        R = d.shape[0]
+        pt_in = [jnp.pad(o.astype(jnp.float32),
+                         ((0, Rp - R), (0, 8 - o.shape[1]))),
+                 jnp.pad(d.astype(jnp.float32),
+                         ((0, Rp - R), (0, 8 - d.shape[1]))),
+                 jnp.pad(z.astype(jnp.float32), ((0, Rp - R), (0, 0)))]
+        raw_in = in_width
+        gx_dtype = jnp.float32
+    else:
+        P = x.shape[0]
+        Pp = _rup(P, PAIR_BWD_TILE)
+        raw_in = x.shape[1]
+        pt_in = [jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))]
+        gx_dtype = x.dtype
     gp = jnp.pad(g, ((0, Pp - P), (0, 0)))
     w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
     h_flat = _flatten_trunk_weights(hspec, h_trunk, h_out)
@@ -809,8 +943,12 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     n_pe = len(pe_in)
     n_grid = Pp // PAIR_BWD_TILE
     cdt = jnp.dtype(wspec.compute_dtype)
+    n_pt = len(pt_in)
 
-    def kernel(x_ref, g_ref, *refs):
+    def kernel(*allrefs):
+        pt_refs = allrefs[:n_pt]
+        g_ref = allrefs[n_pt]
+        refs = allrefs[n_pt + 1:]
         w_refs = refs[:n_w]
         h_refs = refs[n_w:n_w + n_h]
         pe_refs = refs[n_w + n_h:n_w + n_h + n_pe]
@@ -818,61 +956,46 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         dw_refs = refs[n_w + n_h + n_pe + 1:]
         ws, bs, wo, bo = _unflatten_trunk_weights(wspec, [r[:] for r in w_refs])
         hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, [r[:] for r in h_refs])
-        x_raw = x_ref[:]
-        pe = _pe_apply(x_raw, pe_refs)
-        g_t = g_ref[:]
-        g_w = jnp.concatenate(
-            [g_t[:, :wo_dim], jnp.zeros_like(g_t[:, :128 - wo_dim])], axis=-1)
-        g_h = jnp.concatenate(
-            [g_t[:, wo_dim:wo_dim + ho_dim],
-             jnp.zeros_like(g_t[:, :128 - ho_dim])], axis=-1)
-
-        def back(spec, ws_, bs_, wo_, bo_, gout):
-            h, acts = _trunk_forward(spec, pe, ws_, bs_, keep=True)
-            y = _act(spec.out_act)(_mm(h, wo_, cdt) + bo_)
-            gz = gout * _dact_from_out(spec.out_act)(y)
-            dwo = _mmT(h, gz, cdt)
-            dbo = jnp.sum(gz, axis=0, keepdims=True)
-            ga = _mm(gz, wo_.T, cdt)
-            gx, dws, dbs = _trunk_backward(spec, pe, ws_, bs_, acts, ga,
-                                           need_gx=need_gx)
-            grads = []
-            for i in range(spec.num_layers):
-                if i == spec.skip_every and i > 0:
-                    grads.extend([dws[i][0], dws[i][1]])
-                else:
-                    grads.append(dws[i])
-                grads.append(dbs[i])
-            grads.extend([dwo, dbo])
-            return gx, grads
-
-        gpe_w, grads_w = back(wspec, ws, bs, wo, bo, g_w)
-        gpe_h, grads_h = back(hspec, hw, hb, hwo, hbo, g_h)
+        if rays is None:
+            x_raw = pt_refs[0][:]
+        else:
+            x_raw = _pts_from_rays_tile(pt_refs[0][:], pt_refs[1][:],
+                                        pt_refs[2][:], S, PAIR_BWD_TILE,
+                                        in_width)
+        gx, grads = _pair_bwd_math(
+            wspec, hspec, x_raw, g_ref[:],
+            [r[:] for r in w_refs], [r[:] for r in h_refs],
+            pe_refs, wo_dim, ho_dim, need_gx)
         if need_gx:
-            gx = _pe_bwd(x_raw, gpe_w + gpe_h, pe_refs)
-            # +x residual of the warped coords
-            gx = gx + jnp.concatenate(
-                [g_t[:, :wo_dim],
-                 jnp.zeros((g_t.shape[0], gx.shape[1] - wo_dim), gx.dtype)],
-                axis=-1)
             gx_ref[:] = gx.astype(gx_ref.dtype)
         else:
             gx_ref[:] = jnp.zeros(gx_ref.shape, gx_ref.dtype)
-        _accumulate(dw_refs, grads_w + grads_h, pl.program_id(0) == 0)
+        _accumulate(dw_refs, grads, pl.program_id(0) == 0)
 
-    out_shapes = ([jax.ShapeDtypeStruct((Pp, in_width), x.dtype)]
+    out_shapes = ([jax.ShapeDtypeStruct((Pp, in_width), gx_dtype)]
                   + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
     out_specs = ([pl.BlockSpec((PAIR_BWD_TILE, in_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat])
+    if rays is None:
+        pt_specs = [pl.BlockSpec((PAIR_BWD_TILE, in_width),
+                                 lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+    else:
+        G = PAIR_BWD_TILE // S
+        pt_specs = [pl.BlockSpec((G, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((G, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((G, S), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
     outs = pl.pallas_call(
         kernel,
         grid=(n_grid,),
-        in_specs=[pl.BlockSpec((PAIR_BWD_TILE, in_width), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((PAIR_BWD_TILE, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
+        in_specs=pt_specs
+                 + [pl.BlockSpec((PAIR_BWD_TILE, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
                  + _pe_block_specs(pe_spec),
@@ -881,36 +1004,38 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, gp, *flat, *pe_in)
+    )(*pt_in, gp, *flat, *pe_in)
 
     gx = outs[0][:P, :raw_in]
     flat_grads = list(outs[1:])
-
-    def unpack(spec, trunk_params, out_params, it):
-        trunk_grads = []
-        for i, p in enumerate(trunk_params):
-            w = p["w"]
-            if i == 0:
-                dw = next(it)[:w.shape[0], :w.shape[1]]
-            elif i == spec.skip_every:
-                hid = w.shape[1]
-                dwh = next(it)
-                dwx = next(it)
-                dw = jnp.concatenate([dwh[:hid, :hid],
-                                      dwx[:w.shape[0] - hid, :hid]], axis=0)
-            else:
-                dw = next(it)[:w.shape[0], :w.shape[1]]
-            db = next(it)[0, :p["b"].shape[0]]
-            trunk_grads.append({"w": dw, "b": db})
-        wo = out_params["w"]
-        dwo = next(it)[:wo.shape[0], :wo.shape[1]]
-        dbo = next(it)[0, :out_params["b"].shape[0]]
-        return trunk_grads, {"w": dwo, "b": dbo}
-
     it = iter(flat_grads)
-    wt_g, wo_g = unpack(wspec, w_trunk, w_out, it)
-    ht_g, ho_g = unpack(hspec, h_trunk, h_out, it)
+    wt_g, wo_g = _unpack_trunk_grads(wspec, w_trunk, w_out, it)
+    ht_g, ho_g = _unpack_trunk_grads(hspec, h_trunk, h_out, it)
     return gx, wt_g, wo_g, ht_g, ho_g
+
+
+def _unpack_trunk_grads(spec: TrunkSpec, trunk_params, out_params, it):
+    """Rebuild one trunk+head grads pytree from the kernel's padded flat
+    dW iterator (in _flatten_trunk_weights order)."""
+    trunk_grads = []
+    for i, p in enumerate(trunk_params):
+        w = p["w"]
+        if i == 0:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        elif i == spec.skip_every:
+            hid = w.shape[1]
+            dwh = next(it)
+            dwx = next(it)
+            dw = jnp.concatenate([dwh[:hid, :hid],
+                                  dwx[:w.shape[0] - hid, :hid]], axis=0)
+        else:
+            dw = next(it)[:w.shape[0], :w.shape[1]]
+        db = next(it)[0, :p["b"].shape[0]]
+        trunk_grads.append({"w": dw, "b": db})
+    wo = out_params["w"]
+    dwo = next(it)[:wo.shape[0], :wo.shape[1]]
+    dbo = next(it)[0, :out_params["b"].shape[0]]
+    return trunk_grads, {"w": dwo, "b": dbo}
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))

@@ -44,7 +44,8 @@ from .field_mlp import (BWD_TILE, PESpec, TrunkSpec, _composite_fwd,
                         _const_index_arrays, _const_index_specs,
                         _flatten_nerf_weights_rayd, _interp_corners,
                         _interpret, _level_bwd_chains, _level_io,
-                        _pe_apply, _pe_block_specs, _pe_input_arrays,
+                        _pair_bwd_math, _pe_apply, _pe_block_specs,
+                        _pe_input_arrays, _pts_from_rays_tile,
                         _rayd_forward_math, _rayd_grads_tree,
                         _rayd_spec_of, _rayd_unflatten, _rup, _accumulate,
                         _unfold_cond_grads, fold_conditioning,
@@ -53,7 +54,8 @@ from .field_mlp import (BWD_TILE, PESpec, TrunkSpec, _composite_fwd,
 
 def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                      noise, tgt, lw, params, pe_spec: PESpec,
-                     dir_pe_spec: PESpec, bg_sup: float = 0.0):
+                     dir_pe_spec: PESpec, bg_sup: float = 0.0,
+                     pair=None):
     """One fused fwd+grad pass over a level.
 
     pts_raw (P, *) packed raw coords (P = R*S ray-major), dirs_ray (R, 3),
@@ -63,8 +65,17 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     loss weights, bg_sup: static coef_bg (0.0 disables the bg-supervision
     term). params: conditioning-folded level params.
 
-    Returns (rgb_map (R, 16) f32, weights (R, S) f32, gx (P, gx_width),
-    gse (P, se_dim)|None, g_bg (R, 16) f32|None, flat dW grads list)."""
+    pair=(wspec, hspec, w_flat, h_flat, warp_pe, wo_dim, ho_dim, o8):
+    ALSO run the deformation-pair backward in this kernel — the sample
+    positions rebuild from (o8 (R,8), dirs, z) per tile, gx feeds the pair
+    chains directly from VMEM and never exists in HBM, and the pair dW
+    accumulators ride the same grid. (Sample positions carry no gradient:
+    camera-derived + stop-gradient z.) The gx output is dropped in this
+    mode; the pair's padded flat grads are returned as a second list.
+
+    Returns (rgb_map (R, 16) f32, weights (R, S) f32, gx (P, gx_width) |
+    None, gse (P, se_dim)|None, g_bg (R, 16) f32|None, flat dW grads list,
+    pair flat grads list | None)."""
     has_bg = bg is not None
     has_noise = noise is not None
     exact = jnp.dtype(spec.compute_dtype) == jnp.float32
@@ -93,6 +104,18 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     n_grid = Pp // BWD_TILE
     cdt = jnp.dtype(spec.compute_dtype)
 
+    has_pair = pair is not None
+    pair_in = []
+    n_pw = n_ph = n_ppe = 0
+    if has_pair:
+        (p_wspec, p_hspec, p_wflat, p_hflat, p_warp_pe,
+         p_wo, p_ho, o8) = pair
+        op8 = jnp.pad(o8.astype(jnp.float32), ((0, Rp - R), (0, 0)))
+        p_pe_in = _pe_input_arrays(p_warp_pe)
+        pair_in = [op8] + list(p_wflat) + list(p_hflat) + p_pe_in
+        n_pw, n_ph, n_ppe = len(p_wflat), len(p_hflat), len(p_pe_in)
+    n_pair = len(pair_in)
+
     def kernel(x_ref, d_ref, z_ref, tgt_ref, lw_ref, cexp_ref, csel_ref,
                *refs):
         ex_refs = refs[:n_ex]
@@ -101,11 +124,16 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
         pe_refs = refs[n_ex + n_se + n_flat:n_ex + n_se + n_flat + n_pe]
         dpe_refs = refs[n_ex + n_se + n_flat + n_pe:
                         n_ex + n_se + n_flat + n_pe + n_dpe]
-        o_at = n_ex + n_se + n_flat + n_pe + n_dpe
+        at = n_ex + n_se + n_flat + n_pe + n_dpe
+        pair_refs = refs[at:at + n_pair]
+        o_at = at + n_pair
         o_rgb = refs[o_at]
         o_w = refs[o_at + 1]
-        gx_ref = refs[o_at + 2]
-        nxt = o_at + 3
+        nxt = o_at + 2
+        gx_ref = None
+        if not has_pair:
+            gx_ref = refs[nxt]
+            nxt += 1
         gse_ref = None
         if n_se:
             gse_ref = refs[nxt]
@@ -201,7 +229,23 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                 gse_ref[:] = row.astype(gse_ref.dtype)
             else:
                 gse_ref[:] = gse_val.astype(gse_ref.dtype)
-        gx_ref[:] = gx.astype(gx_ref.dtype)
+        if has_pair:
+            # Deformation-pair backward folded in: gx (the packed
+            # [warped|ambient] cotangent) feeds the pair chains straight
+            # from VMEM; positions rebuild from the per-ray (o, d, z)
+            # blocks already on hand (bit-identical o + d*z).
+            pts_tile = _pts_from_rays_tile(pair_refs[0][:], d_ref[:],
+                                           z_ref[:], S, BWD_TILE,
+                                           p_warp_pe.in_width)
+            p_pe_refs = pair_refs[1 + n_pw + n_ph:]
+            _, pair_grads = _pair_bwd_math(
+                p_wspec, p_hspec, pts_tile, gx,
+                [r[:] for r in pair_refs[1:1 + n_pw]],
+                [r[:] for r in pair_refs[1 + n_pw:1 + n_pw + n_ph]],
+                p_pe_refs, p_wo, p_ho, need_gx=False)
+            grads = grads + pair_grads
+        else:
+            gx_ref[:] = gx.astype(gx_ref.dtype)
         _accumulate(dw_refs, grads, pl.program_id(0) == 0)
 
     ex_specs = []
@@ -215,14 +259,17 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     se_specs = ([pl.BlockSpec((BWD_TILE, se_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] if n_se else [])
     out_shapes = [jax.ShapeDtypeStruct((Rp, 16), jnp.float32),
-                  jax.ShapeDtypeStruct((Rp, S), jnp.float32),
-                  jax.ShapeDtypeStruct((Pp, gx_width), pts_raw.dtype)]
+                  jax.ShapeDtypeStruct((Rp, S), jnp.float32)]
     out_specs = [pl.BlockSpec((G, 16), lambda i: (i, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((G, S), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((BWD_TILE, gx_width), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
+    if not has_pair:
+        out_shapes.append(jax.ShapeDtypeStruct((Pp, gx_width),
+                                               pts_raw.dtype))
+        out_specs.append(pl.BlockSpec((BWD_TILE, gx_width),
+                                      lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
     if n_se:
         gse_w = 64 if spec.corner_interp else spec.se_dim
         gse_dt = cdt if spec.corner_interp else jnp.dtype(pts_raw.dtype)
@@ -237,6 +284,22 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     out_shapes += [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat]
     out_specs += [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                memory_space=pltpu.VMEM) for f in flat]
+    pair_specs = []
+    n_pair_grads = 0
+    if has_pair:
+        p_flats = list(p_wflat) + list(p_hflat)
+        n_pair_grads = len(p_flats)
+        out_shapes += [jax.ShapeDtypeStruct(f.shape, jnp.float32)
+                       for f in p_flats]
+        out_specs += [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                   memory_space=pltpu.VMEM)
+                      for f in p_flats]
+        pair_specs = ([pl.BlockSpec((G, 8), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)]
+                      + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                                      memory_space=pltpu.VMEM)
+                         for f in p_flats]
+                      + _pe_block_specs(p_warp_pe))
     outs = pl.pallas_call(
         kernel,
         grid=(n_grid,),
@@ -254,19 +317,23 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                  + ex_specs + se_specs
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
-                 + _pe_block_specs(pe_spec) + _pe_block_specs(dir_pe_spec),
+                 + _pe_block_specs(pe_spec) + _pe_block_specs(dir_pe_spec)
+                 + pair_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
     )(xp, dp, zp, tgtp, lwp, *_const_index_arrays(BWD_TILE, S), *extras,
-      *se_in, *flat, *pe_in, *dpe_in)
+      *se_in, *flat, *pe_in, *dpe_in, *pair_in)
 
     rgb_map = outs[0][:R]
     weights = outs[1][:R]
-    gx = outs[2][:P, :raw_in]
-    k = 3
+    k = 2
+    gx = None
+    if not has_pair:
+        gx = outs[k][:P, :raw_in]
+        k += 1
     gse = None
     if n_se:
         # corner_interp mode: the packed [x_hi|x_lo|x_lo2|gse] slab input,
@@ -279,23 +346,31 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
     if has_bg:
         g_bg = outs[k][:R, :bg.shape[1]]
         k += 1
-    flat_grads = list(outs[k:])
-    return rgb_map, weights, gx, gse, g_bg, flat_grads
+    flat_grads = list(outs[k:len(outs) - n_pair_grads]) \
+        if has_pair else list(outs[k:])
+    pair_grads = list(outs[len(outs) - n_pair_grads:]) if has_pair else None
+    return rgb_map, weights, gx, gse, g_bg, flat_grads, pair_grads
 
 
 def level_train_apply(params, num_layers: int, skip_every: int,
                       pts_raw, dirs_ray, se, samples: int, z, bg, noise,
                       cond, tgt, lw, compute_dtype: str,
                       pe_spec: PESpec, dir_pe_spec: PESpec,
-                      grid_dims=None, bg_sup: float = 0.0):
+                      grid_dims=None, bg_sup: float = 0.0, pair=None):
     """Fold conditioning, run the fused train kernel, unfold gradients.
 
     se: packed (P, 8C) corner rows when grid_dims is given (in-kernel
     trilinear interp; gse comes back per-sample for the external z-slab
     dGrid contraction), else (P, C) raw embedding rows or None.
 
-    Returns (rgb_map, weights, gx, gse, g_bg, grads_tree, dcond) — the
-    grads_tree has UNfolded trunk grads (conditioning rows restored)."""
+    pair=(wspec, hspec, w_flat, h_flat, warp_pe, wo_dim, ho_dim, o8):
+    fold the deformation-pair backward into the kernel (see
+    nerf_level_train); gx comes back None and the pair's padded flat
+    grads are returned instead.
+
+    Returns (rgb_map, weights, gx, gse, g_bg, grads_tree, dcond,
+    pair_flat_grads) — the grads_tree has UNfolded trunk grads
+    (conditioning rows restored)."""
     import dataclasses
     pe_dim = pe_spec.raw_out
     if grid_dims is not None:
@@ -312,9 +387,10 @@ def level_train_apply(params, num_layers: int, skip_every: int,
     trunk = fold_skip_conditioning(hidden, trunk, skip_every, cond, pe_dim)
     p2 = dict(params)
     p2["trunk"] = trunk
-    rgb_map, weights, gx, gse, g_bg, flat_grads = nerf_level_train(
-        spec, pts_raw, dirs_ray, se, z, bg, noise, tgt, lw, p2,
-        pe_spec, dir_pe_spec, bg_sup=bg_sup)
+    rgb_map, weights, gx, gse, g_bg, flat_grads, pair_grads = \
+        nerf_level_train(spec, pts_raw, dirs_ray, se, z, bg, noise, tgt,
+                         lw, p2, pe_spec, dir_pe_spec, bg_sup=bg_sup,
+                         pair=pair)
     # slice by the FOLDED shapes (pe-only trunk rows); _unfold_cond_grads
     # then restores the conditioning rows
     grads_folded = _rayd_grads_tree(spec, p2, flat_grads)
@@ -323,4 +399,4 @@ def level_train_apply(params, num_layers: int, skip_every: int,
                                             skip_every, hidden, pe_dim)
     grads = dict(grads_folded)
     grads["trunk"] = trunk_grads
-    return rgb_map, weights, gx, gse, g_bg, grads, dcond
+    return rgb_map, weights, gx, gse, g_bg, grads, dcond, pair_grads

@@ -53,7 +53,8 @@ from ..models.nerface import (ModelSpec, build_pe_specs, encode_pose,
                               compute_driving, level_kernel_compatible,
                               pair_kernel_ok)
 from ..ops.pallas.field_grid import _sample_major, gather_corners
-from ..ops.pallas.field_mlp import (_pair_specs, _unfold_cond_grads,
+from ..ops.pallas.field_mlp import (_flatten_trunk_weights, _pair_specs,
+                                    _unfold_cond_grads, _unpack_trunk_grads,
                                     deform_pair_forward, deform_pair_vjp,
                                     fold_conditioning,
                                     fold_skip_conditioning)
@@ -111,6 +112,24 @@ def _level_loss(rgb_map, tgt, lw):
     ce = -jnp.sum(tgt[:, 3:15] * jnp.log(rgb_map[:, 3:15] + 1e-10), axis=-1)
     return jnp.sum(lw[:, 0] * diff + lw[:, 1] * ce)
 
+
+# Ablation: 1 = build sample positions INSIDE the pair kernels from the
+# per-ray (o, d, z) blocks instead of materializing (P, 8) f32 position
+# arrays. Saves the ~134 MB-physical position passes but measured NET
+# SLOWER on v5e in r4 (45.0 regime) AND r5 (36.2 vs 34.7 ms/step): three
+# blocked input streams + in-kernel expand/sel dots hurt Mosaic
+# pipelining more than the saved build. Kept as the recorded negative.
+_PAIR_RAYS = os.environ.get("SAHS_PAIR_RAYS", "0") == "1"
+
+# Ablation: 1 = fold the deformation-pair BACKWARD into the train-level
+# kernels (gx consumed in VMEM, no separate pair-vjp launches, pair dW
+# accumulators ride the level grid). Sounds like a pure win — measured
+# 39.0 vs 34.7 ms/step on v5e: the mega-kernel's working set (nerf acts +
+# pair trunk acts + both dW banks live at once) starves Mosaic's
+# double-buffering and the whole pipeline slows more than the saved
+# ~134 MB gx round-trip. Third confirmation of the r4/r5 rule: past a
+# depth sweet spot, MORE fusion into one Mosaic kernel is a regression.
+_PAIR_FOLD = os.environ.get("SAHS_PAIR_FOLD", "0") == "1"
 
 # Ablation: 1 = share the pair forward/backward and the slab dGrid across
 # levels over the coarse∪fine UNION points (262k instead of 393k). Sounds
@@ -173,13 +192,28 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
     ht = fold_conditioning(params["hyper"]["trunk"], cond_pair, pe_dim)
     ht = fold_skip_conditioning(hp[1], ht, hp[2], cond_pair, pe_dim)
 
-    def pair_fwd(pts):
+    def pair_fwd(pts, rays=None):
         return deform_pair_forward(wspec, hspec, pts, wt,
                                    params["warp"]["out"], ht,
-                                   params["hyper"]["out"], warp_pe, 3, amb)
+                                   params["hyper"]["out"], warp_pe, 3, amb,
+                                   rays=rays)
+
+    def pair_bwd(gx, rays):
+        """Rays-mode pair backward: positions rebuilt in-kernel, no
+        per-point input array. Returns (wt_g, wo_g, ht_g, ho_g)."""
+        _, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
+            wspec, hspec, None, wt, params["warp"]["out"], ht,
+            params["hyper"]["out"], gx, warp_pe, 3, amb, need_gx=False,
+            rays=rays)
+        return wt_g, wo_g, ht_g, ho_g
 
     grid = params.get("spatial_embeddings") if use_grid else None
     grid_dims = grid.shape[1:] if use_grid else None
+    pair_fold = _PAIR_FOLD and not _UNION
+    p_wflat = p_hflat = None
+    if pair_fold:
+        p_wflat = _flatten_trunk_weights(wspec, wt, params["warp"]["out"])
+        p_hflat = _flatten_trunk_weights(hspec, ht, params["hyper"]["out"])
 
     def run_level(level_params, nerf_spec, packed, z, noise_key, cond,
                   samples, bg_sup):
@@ -188,33 +222,43 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
         if fcfg.noise_std > 0:
             noise = (jax.random.normal(noise_key, z.shape, dtype=z.dtype)
                      * fcfg.noise_std)
+        pair_ctx = None
+        if pair_fold:
+            pair_ctx = (wspec, hspec, p_wflat, p_hflat, warp_pe, 3, amb,
+                        ro8)
         return level_train_apply(
             level_params, nerf_spec.num_layers, nerf_spec.skip_connect_every,
             packed, rd, corners, samples, z, bg, noise, cond, tgt, lw,
-            cdt, pts_pe, dir_pe, grid_dims=grid_dims, bg_sup=bg_sup)
+            cdt, pts_pe, dir_pe, grid_dims=grid_dims, bg_sup=bg_sup,
+            pair=pair_ctx)
 
     # --- coarse level ----------------------------------------------------
     # Points are built directly at the pair kernel's 8-wide input width:
-    # XLA lane-pads (P, 3) f32 arrays to 128 lanes physically, so the
-    # separate (P,3)->(P,8) pad was a full extra pass (~0.4 ms/level).
+    # XLA lane-pads (P, 3) f32 arrays to 128 lanes physically, so a
+    # separate (P,3)->(P,8) pad would be a full extra pass (~0.4 ms/level).
     ro8 = jnp.pad(ro, ((0, 0), (0, 8 - ro.shape[1])))
     rd8 = jnp.pad(rd, ((0, 0), (0, 8 - rd.shape[1])))
     nearv = jnp.full((R,), fcfg.near, dtype=dtype)
     farv = jnp.full((R,), fcfg.far, dtype=dtype)
     z_c = coarse_z_vals(nearv, farv, Sc, lindisp=fcfg.lindisp,
                         perturb=fcfg.perturb, key=keys[0])
-    pts_c = (ro8[:, None, :] + rd8[:, None, :] * z_c[..., None]
-             ).reshape(-1, 8)
-    packed_c = pair_fwd(pts_c)
-    rgb_c, w_c, gx_c, gse_c, gbg_c, grads_c, dcond_c = run_level(
-        params["coarse"], spec.coarse, packed_c, z_c, keys[1], cond_c,
-        Sc, 0.0)
+    if _PAIR_RAYS:
+        packed_c = pair_fwd(None, rays=(ro8, rd8, z_c, Sc))
+    else:
+        pts_c = (ro8[:, None, :] + rd8[:, None, :] * z_c[..., None]
+                 ).reshape(-1, 8)
+        packed_c = pair_fwd(pts_c)
+    (rgb_c, w_c, gx_c, gse_c, gbg_c, grads_c, dcond_c,
+     pg_c) = run_level(params["coarse"], spec.coarse, packed_c, z_c,
+                       keys[1], cond_c, Sc, 0.0)
 
     # --- fine level: union points, per-ray sorted view -------------------
     z_mid = 0.5 * (z_c[..., 1:] + z_c[..., :-1])
     z_new = sample_pdf(z_mid, w_c[..., 1:-1], Sn, det=(not fcfg.perturb),
                        key=keys[2])
     if _UNION:
+        pts_c = (ro8[:, None, :]
+                 + rd8[:, None, :] * z_c[..., None]).reshape(-1, 8)
         pts_n = (ro8[:, None, :]
                  + rd8[:, None, :] * z_new[..., None]).reshape(-1, 8)
         packed_n = pair_fwd(pts_n)
@@ -230,12 +274,15 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                                        axis=1).reshape(R * Sf, -1)
     else:
         z_f = jnp.sort(z_cat, axis=-1)
-        pts_f = (ro8[:, None, :]
-                 + rd8[:, None, :] * z_f[..., None]).reshape(-1, 8)
-        packed_f = pair_fwd(pts_f)
-    rgb_f, w_f, gx_f, gse_f, gbg_f, grads_f, dcond_f = run_level(
-        params["fine"], spec.fine, packed_f, z_f, keys[3], cond_f,
-        Sf, bg_sup)
+        if _PAIR_RAYS:
+            packed_f = pair_fwd(None, rays=(ro8, rd8, z_f, Sf))
+        else:
+            pts_f = (ro8[:, None, :]
+                     + rd8[:, None, :] * z_f[..., None]).reshape(-1, 8)
+            packed_f = pair_fwd(pts_f)
+    (rgb_f, w_f, gx_f, gse_f, gbg_f, grads_f, dcond_f,
+     pg_f) = run_level(params["fine"], spec.fine, packed_f, z_f, keys[3],
+                       cond_f, Sf, bg_sup)
 
     if _UNION:
         # fold fine cotangents back onto the union through the inverse
@@ -273,15 +320,32 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                                       _sample_major(gse_c, R, Sc), cdt)
                   + grid_dg_slab_packed(grid.shape,
                                         _sample_major(gse_f, R, Sf), cdt))
-        _, wt_g1, wo_g1, ht_g1, ho_g1 = deform_pair_vjp(
-            wspec, hspec, pts_c, wt, params["warp"]["out"], ht,
-            params["hyper"]["out"], gx_c, warp_pe, 3, amb, need_gx=False)
-        _, wt_g2, wo_g2, ht_g2, ho_g2 = deform_pair_vjp(
-            wspec, hspec, pts_f, wt, params["warp"]["out"], ht,
-            params["hyper"]["out"], gx_f, warp_pe, 3, amb, need_gx=False)
-        add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
-        wt_g, wo_g = add(wt_g1, wt_g2), add(wo_g1, wo_g2)
-        ht_g, ho_g = add(ht_g1, ht_g2), add(ho_g1, ho_g2)
+        if pair_fold:
+            # pair dW partials accumulated inside BOTH level kernels
+            pg = [a + b for a, b in zip(pg_c, pg_f)]
+            it = iter(pg)
+            wt_g, wo_g = _unpack_trunk_grads(wspec, wt,
+                                             params["warp"]["out"], it)
+            ht_g, ho_g = _unpack_trunk_grads(hspec, ht,
+                                             params["hyper"]["out"], it)
+        else:
+            if _PAIR_RAYS:
+                wt_g1, wo_g1, ht_g1, ho_g1 = pair_bwd(
+                    gx_c, (ro8, rd8, z_c, Sc))
+                wt_g2, wo_g2, ht_g2, ho_g2 = pair_bwd(
+                    gx_f, (ro8, rd8, z_f, Sf))
+            else:
+                _, wt_g1, wo_g1, ht_g1, ho_g1 = deform_pair_vjp(
+                    wspec, hspec, pts_c, wt, params["warp"]["out"], ht,
+                    params["hyper"]["out"], gx_c, warp_pe, 3, amb,
+                    need_gx=False)
+                _, wt_g2, wo_g2, ht_g2, ho_g2 = deform_pair_vjp(
+                    wspec, hspec, pts_f, wt, params["warp"]["out"], ht,
+                    params["hyper"]["out"], gx_f, warp_pe, 3, amb,
+                    need_gx=False)
+            add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+            wt_g, wo_g = add(wt_g1, wt_g2), add(wo_g1, wo_g2)
+            ht_g, ho_g = add(ht_g1, ht_g2), add(ho_g1, ho_g2)
     warp_tg, dcond_w = _unfold_cond_grads(params["warp"]["trunk"], wt_g,
                                           cond_pair, wp[2], wp[1], pe_dim)
     hyper_tg, dcond_h = _unfold_cond_grads(params["hyper"]["trunk"], ht_g,
