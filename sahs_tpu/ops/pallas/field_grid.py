@@ -32,17 +32,35 @@ from .field_mlp import (PESpec, _rayd_spec_of, fold_conditioning,
                         nerf_level_vjp, nerf_rayd_forward, nerf_rayd_vjp)
 from .grid_bwd import grid_dg_slab
 
+import os
+
+_PACK_GATHER = os.environ.get("SAHS_PACK_GATHER", "0") == "1"
+
 
 def gather_corners(grid: jnp.ndarray, coords: jnp.ndarray,
                    compute_dtype: str) -> jnp.ndarray:
     """(C, D, H, W) grid + (P, >=3) warped coords -> (P, 8C) packed corner
-    rows (ops/grid.py corner-packed layout; bf16 gather in bf16 mode)."""
+    rows (ops/grid.py corner-packed layout; bf16 gather in bf16 mode).
+
+    SAHS_PACK_GATHER=1 gathers bf16 rows as f32 LANE PAIRS (bitcast, no
+    value change) on the theory that XLA's TPU gather cost scales with
+    element count. Re-ablated in r5 ISOLATION (it shipped in r4 only
+    inside a net-negative trio, commit efa276a): measured 39.5 vs
+    34.5 ms/step — the (N, L/2, 2) bitcast reshapes cost far more than
+    the gather saves — so the default is OFF. rows are already clipped
+    into the table by _cell_geometry; mode="clip" (vs the default
+    "fill") drops XLA's out-of-bounds predicate + select over the
+    gathered block."""
     gdt = jnp.bfloat16 if compute_dtype == "bfloat16" else None
     table = pack_corner_table(grid, gather_dtype=gdt)
     rows, _, _ = _cell_geometry(coords, grid.shape[1:])
-    # rows are already clipped into the table by _cell_geometry; mode="clip"
-    # (vs the default "fill") drops XLA's out-of-bounds predicate + select
-    # over the gathered (P, 8C) block (~1 ms/step at fine-level counts)
+    if gdt is not None and _PACK_GATHER and table.shape[1] % 2 == 0:
+        N, L = table.shape
+        packed = jax.lax.bitcast_convert_type(
+            table.reshape(N, L // 2, 2), jnp.float32)
+        out = jnp.take(packed, rows, axis=0, mode="clip")
+        return jax.lax.bitcast_convert_type(out, jnp.bfloat16).reshape(
+            rows.shape[0], L)
     return jnp.take(table, rows, axis=0, mode="clip")
 
 
