@@ -48,6 +48,10 @@ class MaskHeadConfig:
     type: str = "AudioFaceModel"  # top-level model class name
     use_mask: bool = True
     module: Optional[str] = None
+    # Accepted for YAML compatibility (person_2 expression config sets it)
+    # but a deliberate NO-OP: the flag is dead in the reference too — no
+    # reference .py ever reads it (grep over nerf-pytorch). Do not "wire"
+    # this; there is nothing to wire.
     use_losschoose: bool = False
     use_warp_not_in_head: bool = False
     # Per-frame latent code width fed to the NeRF MLP trunk. The reference

@@ -25,6 +25,28 @@ def imread_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def imread_rgb_white(path: str) -> np.ndarray:
+    """uint8 RGB image with any alpha channel composited onto WHITE:
+    rgb*a + (1-a) — the white_background loader semantics the reference
+    INTENDS (nerface_dataloader.py:175-176). The reference's own path is
+    latently broken: it reads with cv2.imread(...) (no IMREAD_UNCHANGED),
+    which never yields an alpha plane, so its `img[..., -1:]` is actually
+    the blue channel. Per the SURVEY §3.1-⚠ rule we implement the intended
+    semantics behind the same flag (and fall back to plain RGB when the
+    file has no alpha)."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 3 and img.shape[2] == 4:
+        a = img[..., 3:4].astype(np.float32) / 255.0
+        rgb = cv2.cvtColor(img[..., :3], cv2.COLOR_BGR2RGB).astype(np.float32)
+        return np.clip(rgb * a + (1.0 - a) * 255.0, 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        return cv2.cvtColor(img, cv2.COLOR_GRAY2RGB)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 def resize_area(img: np.ndarray, h: int, w: int) -> np.ndarray:
     import cv2
     if img.shape[0] == h and img.shape[1] == w:
@@ -111,10 +133,11 @@ class FrameCache:
         self.loaded = np.zeros((n,), bool)
 
     def ensure(self, idx: int, img_path: str, seg_path: Optional[str],
-               h: int, w: int):
+               h: int, w: int, white_background: bool = False):
         if self.loaded[idx]:
             return
-        img = resize_area(imread_rgb(img_path), h, w)
+        reader = imread_rgb_white if white_background else imread_rgb
+        img = resize_area(reader(img_path), h, w)
         self.images[idx] = img
         if self.labels is not None and seg_path is not None:
             self.labels[idx] = read_parse_map(seg_path, h, w)

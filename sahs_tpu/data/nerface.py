@@ -72,6 +72,11 @@ class NerfaceDataset:
             if self.load_segmaps else [None] * len(self.fnames)
         self._cache = FrameCache(len(self.fnames), self.H, self.W,
                                  self.load_segmaps)
+        # white_background: composite RGBA frames onto white at decode
+        # (the INTENDED reference loader semantics; see
+        # common.imread_rgb_white for why the reference's own path is
+        # latently broken and the documented deviation)
+        self.white_background = bool(cfg.nerf.train.white_background)
 
     def _img_path(self, file_path: str) -> str:
         return os.path.join(self.cfg.dataset.basedir, self.mode,
@@ -89,7 +94,8 @@ class NerfaceDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         self._cache.ensure(idx, self.fnames[idx], self.segnames[idx],
-                           self.H, self.W)
+                           self.H, self.W,
+                           white_background=self.white_background)
         out = self._cache.frame(idx)
         out.update(
             pose=self.poses[idx][:3, :4],

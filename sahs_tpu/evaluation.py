@@ -130,10 +130,22 @@ def error_image(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
 def make_eval_renderer(spec: ModelSpec, settings: RenderSettings,
                        H: int, W: int, near: float, far: float,
                        chunksize: Optional[int] = None,
-                       with_latent: bool = False):
+                       with_latent: bool = False,
+                       mesh=None):
     """One jit-compiled full-image renderer. With ``with_latent`` the
     renderer takes a (32,) latent code restored from the checkpoint
-    (reference eval_stage_rays.py:315-318,450-452)."""
+    (reference eval_stage_rays.py:315-318,450-452).
+
+    mesh: optional jax.sharding.Mesh — the ray workload of every chunk is
+    then sharded over the mesh's ray axis (data-parallel eval: params
+    replicated, each device renders its ray shard, per-ray outputs gather
+    by the output sharding; SURVEY §2.5.4). evaluate_dataset passes one
+    automatically when more than one device is visible."""
+    ray_constraint = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from .parallel.mesh import RAY_AXIS
+        ray_constraint = NamedSharding(mesh, PartitionSpec(None, RAY_AXIS))
 
     if with_latent:
         def _render_l(params, intrinsics, pose, driving, background, key,
@@ -141,13 +153,15 @@ def make_eval_renderer(spec: ModelSpec, settings: RenderSettings,
             return render_image(params, spec, settings, H, W, intrinsics,
                                 pose, near, far, driving, key=key,
                                 background=background, chunksize=chunksize,
-                                latent_code=latent_code)
+                                latent_code=latent_code,
+                                ray_constraint=ray_constraint)
         return jax.jit(_render_l)
 
     def _render(params, intrinsics, pose, driving, background, key):
         return render_image(params, spec, settings, H, W, intrinsics, pose,
                             near, far, driving, key=key,
-                            background=background, chunksize=chunksize)
+                            background=background, chunksize=chunksize,
+                            ray_constraint=ray_constraint)
 
     return jax.jit(_render)
 
@@ -206,10 +220,17 @@ def evaluate_dataset(cfg: Config, spec: ModelSpec, model_params, dataset,
 
     H, W = dataset.H, dataset.W
     latent_code = select_eval_latent_code(latent_codes, latent_index_map)
+    # Multi-device: render each frame data-parallel over a ray mesh
+    # (params replicated, ray chunks sharded; SURVEY §2.5.4).
+    mesh = None
+    if jax.device_count() > 1:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh()
     renderer = make_eval_renderer(spec, settings, H, W,
                                   float(cfg.dataset.near),
                                   float(cfg.dataset.far),
-                                  with_latent=latent_code is not None)
+                                  with_latent=latent_code is not None,
+                                  mesh=mesh)
     if frontalize is None:
         frontalize = bool(getattr(cfg.runtime, "frontalize", False))
     key = jax.random.PRNGKey(seed)

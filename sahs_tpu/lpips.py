@@ -127,10 +127,13 @@ def load_lpips_params(path: str) -> Optional[Dict]:
         else:
             C = _CONVS[l][0]
             lins.append(np.full((C,), 1.0 / C, np.float32))
-    if not any(f"lin{l}" in k for l in range(5) for k in sd):
+    uniform = not any(f"lin{l}" in k for l in range(5) for k in sd)
+    if uniform:
         print("lpips: no lin weights in checkpoint — using uniform 1/C "
               "(NOT reference-parity)")
-    return {"convs": convs, "lins": lins}
+    # "uniform_lins" propagates into the metrics.txt label so
+    # architecture-only numbers are never mistaken for real LPIPS
+    return {"convs": convs, "lins": lins, "uniform_lins": uniform}
 
 
 def random_params(seed: int = 0) -> Dict:

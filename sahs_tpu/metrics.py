@@ -113,6 +113,17 @@ def lpips_pair(im1: np.ndarray, im2: np.ndarray) -> Optional[float]:
     return lpips_distance(_lpips_vendored["params"], im1, im2)
 
 
+def lpips_label() -> str:
+    """Label for reported LPIPS values: flags the uniform-1/C lin-weight
+    fallback (torchvision-only checkpoints) so architecture-only numbers
+    are distinguishable from reference-parity LPIPS in saved metrics."""
+    if (_lpips_vendored is not None
+            and _lpips_vendored.get("params") is not None
+            and _lpips_vendored["params"].get("uniform_lins")):
+        return "LPIPS(uniform-lin, NOT parity)"
+    return "LPIPS"
+
+
 def save_l2_image(im1: np.ndarray, im2: np.ndarray, outname: str) -> None:
     import imageio.v2 as imageio
     diff = np.linalg.norm(np.asarray(im1, np.float64)
@@ -178,7 +189,7 @@ def two_folders(path_gt: str, path_generated: str,
         fo.write("\n mean PSNR:\t%5f" % summary["PSNR"])
         fo.write("\n mean SSIM:\t%5f" % summary["SSIM"])
         if summary["LPIPS"] is not None:
-            fo.write("\n mean LPIPS\t%5f\n" % summary["LPIPS"])
+            fo.write("\n mean %s\t%5f\n" % (lpips_label(), summary["LPIPS"]))
         else:
             fo.write("\n mean LPIPS\tn/a (offline: no lpips package and no "
                      "SAHS_LPIPS_WEIGHTS file)\n")

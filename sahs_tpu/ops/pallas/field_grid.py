@@ -72,6 +72,20 @@ def _sample_major(x: jnp.ndarray, R: int, S: int) -> jnp.ndarray:
         R * S, x.shape[-1])
 
 
+def _grid_dg(grid_shape, coords: jnp.ndarray, gse: jnp.ndarray,
+             compute_dtype: str) -> jnp.ndarray:
+    """dGrid dispatch: the z-slab kernel when the full (D*H, W*C) f32 dG
+    block fits VMEM (slab_kernel_ok), else the XLA dense factorized
+    contraction — a larger spatial-embedding config must degrade to the
+    slow path, not die in Mosaic VMEM allocation."""
+    from .grid_bwd import slab_kernel_ok
+    if slab_kernel_ok(grid_shape):
+        return grid_dg_slab(grid_shape, coords, gse, compute_dtype)
+    from ..grid import _grid_cotangent
+    mdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    return _grid_cotangent(grid_shape, coords, gse, mdt)
+
+
 def _grid_spec(num_layers, skip_every, pe_dim, samples, compute_dtype,
                dir_raw, grid_shape, params):
     spec, hidden = _rayd_spec_of(num_layers, skip_every, pe_dim, dir_raw,
@@ -138,8 +152,8 @@ def _nerf_rayd_grid_bwd(num_layers, skip_every, pe_dim, samples,
     grads = dict(grads_folded)
     grads["trunk"] = trunk_grads
     R = dirs_ray.shape[0]
-    dG = grid_dg_slab(grid_shape, _sample_major(pts_raw[:, :3], R, samples),
-                      _sample_major(gse, R, samples), compute_dtype)
+    dG = _grid_dg(grid_shape, _sample_major(pts_raw[:, :3], R, samples),
+                  _sample_major(gse, R, samples), compute_dtype)
     return (grads, dG, gx, jnp.zeros_like(dirs_ray), dcond)
 
 
@@ -211,8 +225,8 @@ def _nerf_level_grid_bwd(num_layers, skip_every, pe_dim, samples,
     grads = dict(grads_folded)
     grads["trunk"] = trunk_grads
     R = dirs_ray.shape[0]
-    dG = grid_dg_slab(grid_shape, _sample_major(pts_raw[:, :3], R, samples),
-                      _sample_major(gse, R, samples), compute_dtype)
+    dG = _grid_dg(grid_shape, _sample_major(pts_raw[:, :3], R, samples),
+                  _sample_major(gse, R, samples), compute_dtype)
     if g_bg is None and bg is not None:
         g_bg = jnp.zeros_like(bg)
     g_noise = jnp.zeros_like(noise) if noise is not None else None

@@ -86,6 +86,19 @@ def grid_bwd_kernel_ok(grid_shape, n_points: int) -> bool:
     return (C, D, H, W) == (32, 32, 32, 32) and n_points >= 8
 
 
+def slab_kernel_ok(grid_shape) -> bool:
+    """Eligibility of the z-slab-predicated dGrid kernels: the FULL
+    (D*H, W*C) f32 dG block stays VMEM-resident across the grid, so a
+    larger spatial-embedding config would fail deep in Mosaic with an
+    obscure VMEM error rather than fall back. Callers (field_grid.py,
+    train/fused.py) must route ineligible shapes to the XLA dense
+    contraction (ops/grid._grid_cotangent)."""
+    C, D, H, W = grid_shape
+    vmem_block = D * H * W * C * 4          # f32 dG accumulator
+    return (D % 4 == 0 and (W * C) % 128 == 0
+            and vmem_block <= 48 * 1024 * 1024)
+
+
 @functools.partial(jax.jit, static_argnames=("grid_shape", "compute_dtype"))
 def grid_dg_slab(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
                  compute_dtype: str = "bfloat16") -> jnp.ndarray:

@@ -3,9 +3,13 @@
 The reference is strictly single-process/single-GPU (SURVEY.md §2.5); all
 parallelism here is new, TPU-native design:
 
-  - 1-D (or hosts x chips 2-D) mesh with a single data axis over RAYS — the
-    only batch axis in this workload. Samples stay device-local because
-    compositing is a per-ray exclusive-cumprod scan.
+  - a 1-D mesh with a single data axis over RAYS — the only batch axis in
+    this workload. Samples stay device-local because compositing is a
+    per-ray exclusive-cumprod scan. A 2-D (hosts x chips) mesh is
+    deliberately NOT built: with pure DP-over-rays there is exactly one
+    collective (the gradient all-reduce), and XLA already schedules it
+    hierarchically (ICI within a host, DCN across) from the 1-D mesh —
+    a second mesh axis would add nothing to partition over.
   - Parameters are replicated; XLA inserts the gradient all-reduce over ICI
     (DCN across hosts) from the sharding annotations — no hand-written
     collectives in the training path.
@@ -92,20 +96,7 @@ def make_sharded_train_step(spec, ts, mesh: Mesh, donate: bool = True):
                    donate_argnums=(0,) if donate else ())
 
 
-def make_sharded_render(spec, settings, mesh: Mesh):
-    """Jitted full-bundle renderer with rays sharded across the mesh: eval
-    frames are rendered data-parallel over devices (each device renders its
-    ray shard; results are gathered by the output sharding)."""
-    from ..render.pipeline import render_rays
-
-    rep = replicated(mesh)
-    rs = ray_sharding(mesh)
-
-    def render(params, ro, rd, near, far, driving, pose, bg, key):
-        return render_rays(params, spec, settings, ro, rd, near, far,
-                           driving, pose, key=key, background_prior=bg)
-
-    return jax.jit(render,
-                   in_shardings=(rep, rs, rs, None, None, rep, rep, rs, rep),
-                   out_shardings=rs,
-                   static_argnums=())
+# Multi-device EVAL lives in evaluation.make_eval_renderer(mesh=...): the
+# chunked full-image renderer takes a ray-sharding constraint so each
+# device renders its ray shard of every chunk (an unchunked whole-bundle
+# sharded renderer would materialize 33M samples at once).

@@ -42,6 +42,14 @@ class RenderSettings:
     white_background: bool = False
     chunksize: int = 131072
     use_pallas: bool = False      # fused Pallas field kernels (TPU fast path)
+    # PIPELINE INVARIANT (relied on by the Pallas fast paths): sample
+    # positions never carry gradient — rays are camera-derived and fine z
+    # is stop_gradient'd by sample_pdf — so the deformation kernels skip
+    # the d(points) cotangent (need_input_grad=False in
+    # models/nerface.py front_half, and the fused train path's pair
+    # backward). Any future path that differentiates through sample
+    # positions (test-time pose refinement, trainable ray jitter) must
+    # flip those flags or it will silently receive zero d(points).
     compute_dtype: str = "bfloat16"
     use_ndc: bool = False         # cfg.dataset.no_ndc=False (train_utils:243)
     fuse_composite: bool = True   # with use_pallas: volume-composite inside
@@ -256,10 +264,17 @@ def render_rays(
 def render_rays_chunked(params, spec, settings, ray_origins, ray_directions,
                         near, far, driving_or_audio, pose,
                         key=None, background_prior=None, latent_code=None,
-                        chunksize: Optional[int] = None) -> RayRenderResult:
+                        chunksize: Optional[int] = None,
+                        ray_constraint=None) -> RayRenderResult:
     """Full-bundle rendering via lax.map over fixed-size ray chunks (the
     TPU equivalent of the reference's get_minibatches python loop,
-    train_utils.py:274-295). Rays are padded to a multiple of the chunk."""
+    train_utils.py:274-295). Rays are padded to a multiple of the chunk.
+
+    ray_constraint: optional NamedSharding over (n_chunks, chunksize, ...)
+    arrays (PartitionSpec(None, RAY_AXIS)) — eval frames then render
+    data-parallel over the mesh: every device runs the same chunk loop on
+    its ray shard and the per-ray outputs gather by the output sharding
+    (SURVEY §2.5.4)."""
     chunksize = chunksize or settings.chunksize
     R = ray_origins.shape[0]
     n_chunks = max(1, -(-R // chunksize))
@@ -275,6 +290,10 @@ def render_rays_chunked(params, spec, settings, ray_origins, ray_directions,
     has_bg = background_prior is not None
     bg = (pad0(background_prior).reshape(n_chunks, chunksize, -1) if has_bg
           else jnp.zeros((n_chunks, chunksize, 1), dtype=ro.dtype))
+    if ray_constraint is not None:
+        constrain = lambda x: jax.lax.with_sharding_constraint(
+            x, ray_constraint)
+        ro, rd, bg = constrain(ro), constrain(rd), constrain(bg)
     chunk_keys = (jax.random.split(key, n_chunks) if key is not None
                   else jnp.zeros((n_chunks,) + jax.random.PRNGKey(0).shape,
                                  dtype=jax.random.PRNGKey(0).dtype))
@@ -300,10 +319,11 @@ def render_rays_chunked(params, spec, settings, ray_origins, ray_directions,
 
 def render_image(params, spec, settings, H, W, intrinsics, pose, near, far,
                  driving_or_audio, key=None, background=None,
-                 latent_code=None, chunksize: Optional[int] = None
-                 ) -> Dict[str, Any]:
+                 latent_code=None, chunksize: Optional[int] = None,
+                 ray_constraint=None) -> Dict[str, Any]:
     """Full-image render (the reference's mode='validation' path,
-    train_utils.py:303-319). background: (H, W, 15) or None."""
+    train_utils.py:303-319). background: (H, W, 15) or None.
+    ray_constraint: see render_rays_chunked (multi-device eval)."""
     from ..ops.rays import get_ray_bundle, ndc_rays
     ro, rd = get_ray_bundle(H, W, intrinsics, pose)
     if settings.use_ndc:
@@ -315,7 +335,8 @@ def render_image(params, spec, settings, H, W, intrinsics, pose, near, far,
                               ro.reshape(-1, 3), rd.reshape(-1, 3), near, far,
                               driving_or_audio, pose, key=key,
                               background_prior=bg, latent_code=latent_code,
-                              chunksize=chunksize)
+                              chunksize=chunksize,
+                              ray_constraint=ray_constraint)
 
     def img(x):
         if x is None:

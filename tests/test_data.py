@@ -80,3 +80,36 @@ def test_disk_roundtrip(tmp_path, kind):
     bg = ds.background()
     assert bg is not None and bg.shape == (32, 32, 15)
     np.testing.assert_allclose(bg[..., 3], 1.0)  # bg-class one-hot channel
+
+
+def test_white_background_rgba_composite(tmp_path):
+    """white_background composites RGBA frames onto white at decode — the
+    reference loader's INTENDED semantics (nerface_dataloader.py:175-176;
+    its own path never sees alpha, see common.imread_rgb_white)."""
+    import cv2
+    import numpy as np
+    from sahs_tpu.data.common import imread_rgb, imread_rgb_white
+
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[..., 2] = 200          # red plane (BGR on disk: idx 2 = R)
+    rgba[..., 3] = 128          # half-transparent
+    p = str(tmp_path / "a.png")
+    cv2.imwrite(p, rgba)
+
+    plain = imread_rgb(p)
+    white = imread_rgb_white(p)
+    a = 128 / 255.0
+    # composited red channel: R*a + (1-a)*255
+    np.testing.assert_allclose(white[..., 0].astype(float),
+                               round(200 * a + (1 - a) * 255), atol=1)
+    # green/blue pick up the white fill
+    np.testing.assert_allclose(white[..., 1].astype(float),
+                               round((1 - a) * 255), atol=1)
+    # the plain reader drops alpha entirely
+    assert plain[..., 0].max() == 200 and plain[..., 1].max() == 0
+
+    # no-alpha files: both readers agree
+    rgb = np.random.RandomState(0).randint(0, 255, (8, 8, 3), np.uint8)
+    p2 = str(tmp_path / "b.png")
+    cv2.imwrite(p2, rgb)
+    np.testing.assert_array_equal(imread_rgb(p2), imread_rgb_white(p2))

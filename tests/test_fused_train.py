@@ -113,6 +113,7 @@ def test_fused_grads_match_autodiff(supervised_bg):
     assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_noise_and_perturb_rng_matches():
     """With perturb + sigma noise ON, the fused path must consume the
     SAME PRNG stream as render_rays (split(key, 4) in the same order) —
@@ -130,6 +131,7 @@ def test_fused_noise_and_perturb_rng_matches():
     assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_bf16_finite_and_close():
     """bf16 smoke: fused step runs, loss finite and near the f32 value."""
     cfg32 = tiny_cfg()

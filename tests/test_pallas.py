@@ -162,6 +162,7 @@ def test_pipeline_pallas_path_matches_oracle(setup):
                                np.asarray(out_o.disp_fine), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pipeline_pallas_grads_match_oracle(setup):
     """Full render_rays gradients (params incl. audnet/warp/hyper/grid/nerf
     and the background prior) with the fused MLP+composite level kernel vs
@@ -401,6 +402,7 @@ def test_grid_bwd_pallas_kernel_wide_coords():
     assert float(jnp.abs(dc[:, 3:]).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_pipeline_reuse_path_matches_oracle(setup):
     """The deformation-reuse path (use_pallas, fuse_composite=False: coarse
     front half shared with the fine level, fine raw permuted into z order)

@@ -48,6 +48,7 @@ def test_eight_virtual_devices_present():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     cfg, spec, ts, batch = tiny_setup()
     key = jax.random.PRNGKey(7)
@@ -95,3 +96,34 @@ def test_graft_entry_compiles():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_eval_render_matches_single_device():
+    """make_eval_renderer(mesh=...) — the data-parallel eval path wired
+    into evaluate_dataset — must reproduce the single-device render."""
+    from sahs_tpu.evaluation import make_eval_renderer
+    from sahs_tpu.render.pipeline import RenderSettings
+    from sahs_tpu.models.nerface import init_model_params
+    cfg, spec, ts, batch = tiny_setup()
+    H = W = 16
+    settings = RenderSettings(num_coarse=8, num_fine=8, perturb=False,
+                              radiance_field_noise_std=0.0,
+                              chunksize=64, use_pallas=True,
+                              compute_dtype="float32")
+    params = {"model": init_model_params(jax.random.PRNGKey(0), spec)}
+    near, far = float(cfg.dataset.near), float(cfg.dataset.far)
+    key = jax.random.PRNGKey(3)
+    bg = batch["background"]
+
+    single = make_eval_renderer(spec, settings, H, W, near, far)
+    out1 = single(params["model"], batch["intrinsics"], batch["pose"],
+                  batch["driving"], bg, key)
+
+    mesh = make_mesh(num_devices=8)
+    sharded = make_eval_renderer(spec, settings, H, W, near, far, mesh=mesh)
+    out2 = sharded(params["model"], batch["intrinsics"], batch["pose"],
+                   batch["driving"], bg, key)
+
+    for k in ("rgb_fine", "rgb_coarse", "disp_fine", "acc_fine"):
+        np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out2[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)

@@ -38,6 +38,7 @@ def test_default_is_mse_only():
     assert float(m["loss"]) == pytest.approx(float(m["mse"]))
 
 
+@pytest.mark.slow
 def test_gan_step_updates_both_and_decreases():
     s = _settings(use_gan=True, gan_weight=0.05, gan_feat_weight=1.0,
                   lr_D=2e-4)
@@ -70,6 +71,7 @@ def test_perceptual_term_included():
     assert float(m["loss"]) > float(m["mse"])
 
 
+@pytest.mark.slow
 def test_scan_step_matches_sequential_steps():
     s = _settings()
     i_src, raws, tgts = _data(n=3, hw=16)

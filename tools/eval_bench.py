@@ -41,9 +41,11 @@ def main():
     ds = SyntheticFaceDataset(kind="audio", num_frames=N, H=H, W=W,
                               near=cfg.dataset.near, far=cfg.dataset.far)
     bg = jnp.asarray(ds.background())
+    chunk = int(os.environ.get("SAHS_EVAL_CHUNK", "0")) or None
     renderer = make_eval_renderer(spec, settings, H, W,
                                   float(cfg.dataset.near),
-                                  float(cfg.dataset.far))
+                                  float(cfg.dataset.far),
+                                  chunksize=chunk)
     key = jax.random.PRNGKey(0)
 
     def run(i, k):
@@ -71,7 +73,7 @@ def main():
           f"mean: {sum(times)/len(times):.3f}  "
           f"eval rays/s: {rays / per_frame:,.0f}  "
           f"({settings.num_coarse}+{settings.num_fine} samples, "
-          f"chunks of {settings.chunksize})")
+          f"chunks of {chunk or settings.chunksize})")
 
 
 if __name__ == "__main__":

@@ -137,6 +137,74 @@ def main():
               f"{'OK' if ok_g else 'FAIL'}")
         if not (ok_y and ok_g):
             failures.append(dtype)
+    # ---- r5: fused train-path grads vs jax.grad-over-render_rays --------
+    # The fused Stage-I gradient path (train/fused.py) computes the loss
+    # cotangents IN-kernel and the whole backward in the forward pass;
+    # compare its gradients against the jax.grad path ON DEVICE, both on
+    # the Pallas kernels at the same dtype (isolates the restructuring,
+    # not kernel-vs-oracle precision). SGD(1.0) makes param deltas equal
+    # the raw gradients.
+    # TRACKED FOLLOW-UP (r4 advisor): if the render-path bf16 worst-leaf
+    # gate above ever needs to move past 0.60, switch the warp-net dX
+    # chain to f32 accumulation instead of raising the threshold.
+    import dataclasses as _dc
+
+    import optax
+
+    from sahs_tpu.data.synthetic import SyntheticFaceDataset
+    from sahs_tpu.train.fused import stage1_fused_eligible
+    from sahs_tpu.train.stage1 import (TrainSettings, init_train_state,
+                                       train_step)
+
+    cfg2 = Config()
+    cfg2.runtime.use_pallas = True
+    ds = SyntheticFaceDataset(kind="audio", num_frames=1, H=128, W=128,
+                              near=cfg2.dataset.near, far=cfg2.dataset.far)
+    item = ds[0]
+    batch = {k: jnp.asarray(v) for k, v in item.items() if k != "fname"}
+    batch["background"] = jnp.asarray(ds.background())
+
+    def train_grads(fused, dtype):
+        cfg2.runtime.compute_dtype = dtype
+        ts = _dc.replace(TrainSettings.from_config(cfg2),
+                         fused_grads=fused)
+        assert stage1_fused_eligible(spec, ts.render)
+        opt = optax.sgd(1.0)
+        state = init_train_state(jax.random.PRNGKey(0), spec, ts)
+        state = state._replace(params={"model": params},
+                               opt_state=opt.init({"model": params}))
+        st2, m = jax.jit(lambda s, b, k: train_step(
+            s, b, k, spec, ts, opt))(state, batch, jax.random.PRNGKey(7))
+        g = jax.tree_util.tree_map(lambda a, b_: a - b_, state.params,
+                                   st2.params)
+        return jax.device_get(g), float(m["loss"])
+
+    for dtype, thresh_g, thresh_cos in (("float32", 0.05, 0.9999),
+                                        ("bfloat16", 0.60, 0.98)):
+        g_ref, l_ref = train_grads(False, dtype)
+        g_fus, l_fus = train_grads(True, dtype)
+        leaves_r = [np.asarray(l, np.float64)
+                    for l in jax.tree_util.tree_leaves(g_ref)]
+        leaves_f = [np.asarray(l, np.float64)
+                    for l in jax.tree_util.tree_leaves(g_fus)]
+        gnorm2 = float(np.sqrt(sum(float(np.vdot(l, l))
+                                   for l in leaves_r)))
+        eg = max(np.linalg.norm(b - a)
+                 / max(np.linalg.norm(a), 0.01 * gnorm2)
+                 for a, b in zip(leaves_r, leaves_f))
+        fo = np.concatenate([l.ravel() for l in leaves_r])
+        fp = np.concatenate([l.ravel() for l in leaves_f])
+        cos = float(np.dot(fo, fp)
+                    / (np.linalg.norm(fo) * np.linalg.norm(fp) + 1e-30))
+        el = abs(l_fus - l_ref) / max(abs(l_ref), 1e-6)
+        ok = eg <= thresh_g and cos >= thresh_cos and el <= 1e-2
+        print(f"[train {dtype:8s}] loss rel-err {el:.3e}  "
+              f"grad worst-leaf l2rel {eg:.3e} (<= {thresh_g:g}) "
+              f"cos {cos:.5f} (>= {thresh_cos:g}): "
+              f"{'OK' if ok else 'FAIL'}")
+        if not ok:
+            failures.append(f"train-{dtype}")
+
     if failures:
         print(f"PARITY FAIL: {failures}")
         sys.exit(1)
