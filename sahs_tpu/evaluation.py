@@ -146,6 +146,15 @@ def make_eval_renderer(spec: ModelSpec, settings: RenderSettings,
         from jax.sharding import NamedSharding, PartitionSpec
         from .parallel.mesh import RAY_AXIS
         ray_constraint = NamedSharding(mesh, PartitionSpec(None, RAY_AXIS))
+    # The reference configs' chunksize (131072 rays) was tuned for the
+    # torch renderer's memory profile; on the Pallas path a chunk holds
+    # (chunk * samples) packed 128-lane point blocks and 131072-ray chunks
+    # exceed one chip's HBM (~25 GB needed). 32768 measured fastest of
+    # {8k, 16k, 32k} on v5e (tools/eval_bench.py; BENCH_NOTES r5) and
+    # stays well inside HBM, so TPU eval clamps to it.
+    if chunksize is None and settings.use_pallas \
+            and jax.default_backend() == "tpu":
+        chunksize = min(settings.chunksize, 32768)
 
     if with_latent:
         def _render_l(params, intrinsics, pose, driving, background, key,
