@@ -42,6 +42,11 @@ def main():
                               near=cfg.dataset.near, far=cfg.dataset.far)
     bg = jnp.asarray(ds.background())
     chunk = int(os.environ.get("SAHS_EVAL_CHUNK", "0")) or None
+    # mirror make_eval_renderer's TPU clamp for the printed label
+    eff_chunk = chunk or (min(settings.chunksize, 32768)
+                          if (settings.use_pallas
+                              and jax.default_backend() == "tpu")
+                          else settings.chunksize)
     renderer = make_eval_renderer(spec, settings, H, W,
                                   float(cfg.dataset.near),
                                   float(cfg.dataset.far),
@@ -73,7 +78,7 @@ def main():
           f"mean: {sum(times)/len(times):.3f}  "
           f"eval rays/s: {rays / per_frame:,.0f}  "
           f"({settings.num_coarse}+{settings.num_fine} samples, "
-          f"chunks of {chunk or settings.chunksize})")
+          f"chunks of {eff_chunk})")
 
 
 if __name__ == "__main__":
