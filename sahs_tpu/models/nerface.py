@@ -258,6 +258,12 @@ class RenderFns(NamedTuple):
     level_fn: Optional[Callable]
     front_fn: Optional[Callable]
     nerf_fn: Optional[Callable]
+    # Desired width of the flat points arrays fed to the evaluators: the
+    # Pallas path wants them built directly at the pair kernel's 8-wide
+    # input (XLA lane-pads (P, 3) f32 to 128 lanes physically, so a
+    # separate (P,3)->(P,8) pad is a full extra memory pass); the oracle
+    # path wants plain (P, 3).
+    pts_width: int = 3
 
 
 def make_render_fns(params: Params, spec: ModelSpec,
@@ -467,7 +473,7 @@ def make_render_fns(params: Params, spec: ModelSpec,
             nerf_cond(level, pts_flat.dtype), compute_dtype=compute_dtype,
             pe_spec=pts_pe, dir_pe_spec=dir_pe)
 
-    return RenderFns(field_fn, level_fn, front_half, nerf_fn)
+    return RenderFns(field_fn, level_fn, front_half, nerf_fn, pts_width=8)
 
 
 def make_field_fn(params: Params, spec: ModelSpec,

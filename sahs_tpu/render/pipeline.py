@@ -151,20 +151,30 @@ def render_rays(
     # Shared per-frame conditioning, computed once (the reference recomputes
     # per chunk/level with identical results, models.py:514-521).
     level_fn = front_fn = nerf_fn = None
+    pw = 3
     if field_fn is None:
-        field_fn, level_fn, front_fn, nerf_fn = nerface.make_render_fns(
+        fns = nerface.make_render_fns(
             params, spec, driving_or_audio, pose, latent_code=latent_code,
             use_pallas=settings.use_pallas,
             compute_dtype=settings.compute_dtype)
+        field_fn, level_fn, front_fn, nerf_fn = (
+            fns.field_fn, fns.level_fn, fns.front_fn, fns.nerf_fn)
+        pw = fns.pts_width
     if not settings.fuse_composite:
         level_fn = None
+    # Points built directly at the evaluators' input width (RenderFns
+    # .pts_width): padded o/d columns are zero so the extra lanes are 0.
+    ro_w = (jnp.pad(ray_origins, ((0, 0), (0, pw - 3))) if pw > 3
+            else ray_origins)
+    rd_w = (jnp.pad(ray_directions, ((0, 0), (0, pw - 3))) if pw > 3
+            else ray_directions)
 
     def run_level(level, z_vals, noise_key, raw_override=None):
         S = z_vals.shape[-1]
         if raw_override is None:
-            pts = (ray_origins[:, None, :]
-                   + ray_directions[:, None, :] * z_vals[..., None])
-            pts_flat = pts.reshape(-1, 3)
+            pts = (ro_w[:, None, :]
+                   + rd_w[:, None, :] * z_vals[..., None])
+            pts_flat = pts.reshape(-1, pw)
         if raw_override is None and level_fn is not None \
                 and nerface.level_kernel_compatible(S):
             # Fully-fused path: MLP + volume compositing in one kernel
@@ -218,9 +228,9 @@ def render_rays(
     fh_coarse = None
     if reuse:
         Sc = z_coarse.shape[-1]
-        pts_c = (ray_origins[:, None, :]
-                 + ray_directions[:, None, :] * z_coarse[..., None])
-        fh_coarse = front_fn(pts_c.reshape(-1, 3))
+        pts_c = (ro_w[:, None, :]
+                 + rd_w[:, None, :] * z_coarse[..., None])
+        fh_coarse = front_fn(pts_c.reshape(-1, pw))
         raw_c = nerf_fn("coarse", fh_coarse, ray_directions, Sc)
         coarse = run_level("coarse", z_coarse, keys[1],
                            raw_override=raw_c.reshape(num_rays, Sc, -1))
@@ -238,9 +248,9 @@ def render_rays(
         Sc = z_coarse.shape[-1]
         Sn = z_samples.shape[-1]
         S = Sc + Sn
-        pts_n = (ray_origins[:, None, :]
-                 + ray_directions[:, None, :] * z_samples[..., None])
-        fh_new = front_fn(pts_n.reshape(-1, 3))
+        pts_n = (ro_w[:, None, :]
+                 + rd_w[:, None, :] * z_samples[..., None])
+        fh_new = front_fn(pts_n.reshape(-1, pw))
         fh_fine = tuple(
             (None if c is None else jnp.concatenate(
                 [c.reshape(num_rays, Sc, -1), n.reshape(num_rays, Sn, -1)],
