@@ -64,6 +64,19 @@ def gather_corners(grid: jnp.ndarray, coords: jnp.ndarray,
     return jnp.take(table, rows, axis=0, mode="clip")
 
 
+def gather_corners_from_rows(grid: jnp.ndarray, rows_f: jnp.ndarray,
+                             compute_dtype: str) -> jnp.ndarray:
+    """gather_corners with the table rows already computed (as exact-int
+    f32, the pair kernel's emit_rows output — see
+    field_mlp.deform_pair_forward): skips the XLA cell-geometry fusion
+    that strided-reads 3 lanes of the physically 128-lane-padded packed
+    array (~0.5 ms/step at fine counts)."""
+    gdt = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+    table = pack_corner_table(grid, gather_dtype=gdt)
+    rows = rows_f.reshape(-1).astype(jnp.int32)
+    return jnp.take(table, rows, axis=0, mode="clip")
+
+
 def _sample_major(x: jnp.ndarray, R: int, S: int) -> jnp.ndarray:
     """(R*S, k) ray-major -> sample-major: all rays' sample s adjacent.
     Same-sample points share depth (one camera per step), so the slab-dG

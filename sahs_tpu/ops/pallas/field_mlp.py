@@ -752,7 +752,8 @@ def _pair_specs(wp, hp, pe_dim, compute_dtype):
 def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                         w_trunk, w_out, h_trunk, h_out,
                         pe_spec: "PESpec", wo_dim: int,
-                        ho_dim: int, rays=None) -> jnp.ndarray:
+                        ho_dim: int, rays=None,
+                        emit_rows=None) -> jnp.ndarray:
     """Both deformation MLPs on the SAME in-kernel PE of the packed raw
     coords. Returns (P, 128) packed canonical hyper-points:
     cols [0:wo_dim] = x + warp(x) (the warped coords — the +x residual is
@@ -764,7 +765,17 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
 
     rays=(o (R,8), d (R,8), z (R,S), S): points are built IN-kernel from
     per-ray origin/direction + z and the per-point position array never
-    exists in HBM at all; x is ignored."""
+    exists in HBM at all; x is ignored.
+
+    emit_rows=(S, (D, H, W)): ALSO emit the corner-table row index of
+    every warped point as a SECOND output shaped (P//S, S) f32 — exact
+    integers (< 2^16, exact through the hi/lo-split 0/1 layout dots).
+    The DENSE (rows, S) layout is the point: computing rows in XLA from
+    the (P, 128) packed output reads 3 strided lanes of a physically
+    lane-padded array (~0.5 ms/step at fine counts), while this output
+    reads at full bandwidth. Expressions mirror ops/grid._cell_geometry
+    EXACTLY so the gathered rows always match the level kernel's
+    in-kernel trilinear floors."""
     in_width = pe_spec.in_width
     if rays is None:
         P = x.shape[0]
@@ -820,6 +831,26 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
              jnp.zeros((warped.shape[0], 128 - wo_dim - ho_dim),
                        warped.dtype)], axis=-1)
         o_ref[:] = out.astype(o_ref.dtype)
+        if emit_rows is not None:
+            rows_ref = refs[n_w + n_h + len(pe_in) + 1]
+            S_r, (D_, H_, W_) = emit_rows
+            f32 = jnp.float32
+            wf = warped.astype(f32)
+            bases = []
+            for axis, n in ((0, W_), (1, H_), (2, D_)):
+                # MUST mirror ops/grid._cell_geometry exactly (same floor
+                # association) so rows match the level kernel's interp
+                i = (wf[:, axis:axis + 1] + 1.0) * 0.5 * (n - 1)
+                bases.append(jnp.clip(jnp.floor(i) + 1.0, 0.0, float(n)))
+            bx, by, bz = bases
+            rowf = (bz * (H_ + 1) + by) * (W_ + 1) + bx     # (tile, 1)
+            tile_n = rowf.shape[0]
+            expand = _ray_expand(tile_n, S_r, f32)
+            sel = _sel_matrix(tile_n, S_r, f32)
+            # exact=True: hi/lo bf16 split — exact for integers < 2^16
+            # (hi's rounding error is an integer <= 128, itself exact in
+            # bf16), and each (g, s) output sums exactly one nonzero term
+            rows_ref[:] = _01dotT(expand, rowf * sel, True)
 
     if rays is None:
         pt_specs = [pl.BlockSpec((PAIR_TILE, in_width), lambda i: (i, 0),
@@ -833,6 +864,18 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                     pl.BlockSpec((G, S), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
     flat = w_flat + h_flat
+    out_specs = pl.BlockSpec((PAIR_TILE, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((Pp, 128), out_dtype)
+    if emit_rows is not None:
+        S_r = emit_rows[0]
+        assert PAIR_TILE % S_r == 0
+        out_specs = [out_specs,
+                     pl.BlockSpec((PAIR_TILE // S_r, S_r),
+                                  lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((Pp // S_r, S_r), jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(Pp // PAIR_TILE,),
@@ -840,11 +883,12 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
                  + _pe_block_specs(pe_spec),
-        out_specs=pl.BlockSpec((PAIR_TILE, 128), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Pp, 128), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
     )(*pt_in, *flat, *pe_in)
+    if emit_rows is not None:
+        return out[0][:P], out[1][:P // emit_rows[0]]
     return out[:P]
 
 

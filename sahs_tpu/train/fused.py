@@ -192,11 +192,18 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
     ht = fold_conditioning(params["hyper"]["trunk"], cond_pair, pe_dim)
     ht = fold_skip_conditioning(hp[1], ht, hp[2], cond_pair, pe_dim)
 
-    def pair_fwd(pts, rays=None):
-        return deform_pair_forward(wspec, hspec, pts, wt,
-                                   params["warp"]["out"], ht,
-                                   params["hyper"]["out"], warp_pe, 3, amb,
-                                   rays=rays)
+    def pair_fwd(pts, rays=None, samples=None):
+        """-> (packed (P, 128), rows (P//S, S) f32 | None). With a grid
+        and known per-ray sample count the kernel also emits the exact
+        corner-table rows (field_mlp emit_rows) so the gather needs no
+        XLA cell-geometry pass over the packed output."""
+        emit = ((samples, grid.shape[1:])
+                if (use_grid and samples is not None) else None)
+        out = deform_pair_forward(wspec, hspec, pts, wt,
+                                  params["warp"]["out"], ht,
+                                  params["hyper"]["out"], warp_pe, 3, amb,
+                                  rays=rays, emit_rows=emit)
+        return out if emit is not None else (out, None)
 
     def pair_bwd(gx, rays):
         """Rays-mode pair backward: positions rebuilt in-kernel, no
@@ -216,8 +223,13 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
         p_hflat = _flatten_trunk_weights(hspec, ht, params["hyper"]["out"])
 
     def run_level(level_params, nerf_spec, packed, z, noise_key, cond,
-                  samples, bg_sup):
-        corners = (gather_corners(grid, packed, cdt) if use_grid else None)
+                  samples, bg_sup, rows=None):
+        from ..ops.pallas.field_grid import gather_corners_from_rows
+        corners = None
+        if use_grid:
+            corners = (gather_corners_from_rows(grid, rows, cdt)
+                       if rows is not None
+                       else gather_corners(grid, packed, cdt))
         noise = None
         if fcfg.noise_std > 0:
             noise = (jax.random.normal(noise_key, z.shape, dtype=z.dtype)
@@ -243,14 +255,15 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
     z_c = coarse_z_vals(nearv, farv, Sc, lindisp=fcfg.lindisp,
                         perturb=fcfg.perturb, key=keys[0])
     if _PAIR_RAYS:
-        packed_c = pair_fwd(None, rays=(ro8, rd8, z_c, Sc))
+        packed_c, rows_c = pair_fwd(None, rays=(ro8, rd8, z_c, Sc),
+                                    samples=Sc)
     else:
         pts_c = (ro8[:, None, :] + rd8[:, None, :] * z_c[..., None]
                  ).reshape(-1, 8)
-        packed_c = pair_fwd(pts_c)
+        packed_c, rows_c = pair_fwd(pts_c, samples=Sc)
     (rgb_c, w_c, gx_c, gse_c, gbg_c, grads_c, dcond_c,
      pg_c) = run_level(params["coarse"], spec.coarse, packed_c, z_c,
-                       keys[1], cond_c, Sc, 0.0)
+                       keys[1], cond_c, Sc, 0.0, rows=rows_c)
 
     # --- fine level: union points, per-ray sorted view -------------------
     z_mid = 0.5 * (z_c[..., 1:] + z_c[..., :-1])
@@ -261,7 +274,7 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                  + rd8[:, None, :] * z_c[..., None]).reshape(-1, 8)
         pts_n = (ro8[:, None, :]
                  + rd8[:, None, :] * z_new[..., None]).reshape(-1, 8)
-        packed_n = pair_fwd(pts_n)
+        packed_n, _ = pair_fwd(pts_n)
     bg_sup = (fcfg.bg_sup_weight / R
               if (fcfg.bg_sup_weight > 0 and bg is not None) else 0.0)
     z_cat = jnp.concatenate([z_c, z_new], axis=-1)
@@ -272,17 +285,19 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                                     packed_n.reshape(R, Sn, -1)], axis=1)
         packed_f = jnp.take_along_axis(packed_u, perm[..., None],
                                        axis=1).reshape(R * Sf, -1)
+        rows_f = None
     else:
         z_f = jnp.sort(z_cat, axis=-1)
         if _PAIR_RAYS:
-            packed_f = pair_fwd(None, rays=(ro8, rd8, z_f, Sf))
+            packed_f, rows_f = pair_fwd(None, rays=(ro8, rd8, z_f, Sf),
+                                        samples=Sf)
         else:
             pts_f = (ro8[:, None, :]
                      + rd8[:, None, :] * z_f[..., None]).reshape(-1, 8)
-            packed_f = pair_fwd(pts_f)
+            packed_f, rows_f = pair_fwd(pts_f, samples=Sf)
     (rgb_f, w_f, gx_f, gse_f, gbg_f, grads_f, dcond_f,
      pg_f) = run_level(params["fine"], spec.fine, packed_f, z_f, keys[3],
-                       cond_f, Sf, bg_sup)
+                       cond_f, Sf, bg_sup, rows=rows_f)
 
     if _UNION:
         # fold fine cotangents back onto the union through the inverse
