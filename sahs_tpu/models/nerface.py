@@ -342,15 +342,24 @@ def make_render_fns(params: Params, spec: ModelSpec,
     # (modules.py:323-462: warp and hyper both take driving+pose).
     pair_ok = pair_kernel_ok(spec)
 
-    def front_half(pts_flat):
+    def front_half(pts_flat, samples=None):
         """Shared deformation front half: packed canonical points (kept as
         the (P,128) kernel block when the pair kernel runs). The spatial
         embedding is NOT sampled here — it is folded into the grid-coupled
         NeRF ops (ops/pallas/field_grid.py) so interp/dCoords run in-kernel
-        and dGrid uses the z-slab contraction."""
+        and dGrid uses the z-slab contraction.
+
+        With ``samples`` (and the pair kernel + grid active) returns
+        (packed, rows): the pair kernel also emits the exact corner-table
+        row of every warped point in dense (P//S, S) layout, sparing the
+        grid ops the strided-lane cell-geometry pass (field_mlp
+        emit_rows). Otherwise returns (packed, None)."""
         warped = pts_flat
         pts_raw = pts_flat
+        rows = None
         if pair_ok:
+            emit = ((samples, tuple(params["spatial_embeddings"].shape[1:]))
+                    if (samples is not None and use_grid) else None)
             # packed (P, 128) [x + warp | ambient | zeros]: consumed AS-IS
             # by the grid sampler (first 3 cols) and the NeRF kernel (first
             # 3+amb cols) — no intermediate (P, small) array ever exists.
@@ -363,7 +372,9 @@ def make_render_fns(params: Params, spec: ModelSpec,
                  spec.hyper.ambient_coord_dim, "linear"),
                 pts_flat, deform_cond(spec.warp),
                 compute_dtype=compute_dtype, pe_spec=warp_pe,
-                need_input_grad=False)
+                need_input_grad=False, emit_rows=emit)
+            if emit is not None:
+                packed, rows = packed
             warped = packed
             pts_raw = packed
         else:
@@ -385,7 +396,7 @@ def make_render_fns(params: Params, spec: ModelSpec,
                     out_act="linear", compute_dtype=compute_dtype,
                     pe_spec=warp_pe)
                 pts_raw = jnp.concatenate([pts_raw, amb], axis=-1)
-        return pts_raw, None
+        return pts_raw, rows
 
     def nerf_cond(level, dtype):
         nerf_spec: NeRFSpec = getattr(spec, level)
@@ -456,7 +467,7 @@ def make_render_fns(params: Params, spec: ModelSpec,
         with in-kernel volume compositing (per-RAY outputs; no (P,128) raw
         round-trip, no XLA (R,S,C) compositing chain)."""
         nerf_spec: NeRFSpec = getattr(spec, level)
-        pts_raw, _ = front_half(pts_flat)
+        pts_raw, rows = front_half(pts_flat, samples=samples)
         if use_grid:
             from ..ops.pallas.field_grid import nerf_render_level_grid
             return nerf_render_level_grid(
@@ -465,7 +476,7 @@ def make_render_fns(params: Params, spec: ModelSpec,
                 pts_raw, dirs_ray, samples, z, bg, noise,
                 nerf_cond(level, pts_flat.dtype),
                 compute_dtype=compute_dtype,
-                pe_spec=pts_pe, dir_pe_spec=dir_pe)
+                pe_spec=pts_pe, dir_pe_spec=dir_pe, rows=rows)
         from ..ops.pallas.field_mlp import nerf_render_level
         return nerf_render_level(
             params[level], nerf_spec.num_layers, nerf_spec.skip_connect_every,

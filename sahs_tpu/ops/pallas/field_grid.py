@@ -192,15 +192,22 @@ def nerf_mlp_apply_rayd_grid(params, grid, num_layers: int, skip_every: int,
 # Fully-fused level variant (in-kernel volume compositing)
 # ---------------------------------------------------------------------------
 
+def _gather(grid, pts_raw, rows, compute_dtype):
+    if rows is not None:
+        return gather_corners_from_rows(grid, rows, compute_dtype)
+    return gather_corners(grid, pts_raw, compute_dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _nerf_level_grid(num_layers, skip_every, pe_dim, samples, compute_dtype,
                      pe_spec, dir_pe_spec, grid_shape,
-                     params, grid, pts_raw, dirs_ray, z, bg, noise, cond):
+                     params, grid, pts_raw, dirs_ray, z, bg, noise, cond,
+                     rows):
     spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
                               compute_dtype, dir_pe_spec.raw_out, grid_shape,
                               params)
     p2 = _fold(params, cond, pe_dim, skip_every, hidden)
-    corners = gather_corners(grid, pts_raw, compute_dtype)
+    corners = _gather(grid, pts_raw, rows, compute_dtype)
     return nerf_level_forward(spec, pts_raw, dirs_ray, corners, z, bg,
                               noise, p2, pe_spec, dir_pe_spec)
 
@@ -208,22 +215,23 @@ def _nerf_level_grid(num_layers, skip_every, pe_dim, samples, compute_dtype,
 def _nerf_level_grid_fwd(num_layers, skip_every, pe_dim, samples,
                          compute_dtype, pe_spec, dir_pe_spec, grid_shape,
                          params, grid, pts_raw, dirs_ray, z, bg, noise,
-                         cond):
+                         cond, rows):
     spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
                               compute_dtype, dir_pe_spec.raw_out, grid_shape,
                               params)
     p2 = _fold(params, cond, pe_dim, skip_every, hidden)
-    corners = gather_corners(grid, pts_raw, compute_dtype)
+    corners = _gather(grid, pts_raw, rows, compute_dtype)
     y = nerf_level_forward(spec, pts_raw, dirs_ray, corners, z, bg, noise,
                            p2, pe_spec, dir_pe_spec)
-    return y, (params, pts_raw, dirs_ray, z, bg, noise, cond, corners)
+    return y, (params, pts_raw, dirs_ray, z, bg, noise, cond, corners,
+               rows)
 
 
 def _nerf_level_grid_bwd(num_layers, skip_every, pe_dim, samples,
                          compute_dtype, pe_spec, dir_pe_spec, grid_shape,
                          res, gs):
     from .field_mlp import _unfold_cond_grads
-    params, pts_raw, dirs_ray, z, bg, noise, cond, corners = res
+    params, pts_raw, dirs_ray, z, bg, noise, cond, corners, rows = res
     g_rgb, g_w = gs
     spec, hidden = _grid_spec(num_layers, skip_every, pe_dim, samples,
                               compute_dtype, dir_pe_spec.raw_out, grid_shape,
@@ -243,8 +251,9 @@ def _nerf_level_grid_bwd(num_layers, skip_every, pe_dim, samples,
     if g_bg is None and bg is not None:
         g_bg = jnp.zeros_like(bg)
     g_noise = jnp.zeros_like(noise) if noise is not None else None
+    g_rows = jnp.zeros_like(rows) if rows is not None else None
     return (grads, dG, gx, jnp.zeros_like(dirs_ray),
-            jnp.zeros_like(z), g_bg, g_noise, dcond)
+            jnp.zeros_like(z), g_bg, g_noise, dcond, g_rows)
 
 
 _nerf_level_grid.defvjp(_nerf_level_grid_fwd, _nerf_level_grid_bwd)
@@ -256,12 +265,13 @@ def nerf_render_level_grid(params, grid, num_layers: int, skip_every: int,
                            cond: jnp.ndarray,
                            compute_dtype: str = "bfloat16",
                            pe_spec: PESpec = None,
-                           dir_pe_spec: PESpec = None):
+                           dir_pe_spec: PESpec = None, rows=None):
     """Fully-fused level with the spatial-embedding sample folded in:
     NeRF MLP + trilinear interp + volume compositing in one kernel pass.
     Returns (rgb_map (R, 16), weights (R, S)); differentiable wrt params,
-    grid, pts_raw, bg, cond."""
+    grid, pts_raw, bg, cond. rows: optional kernel-emitted corner-table
+    rows (gradient-free; see gather_corners_from_rows)."""
     return _nerf_level_grid(num_layers, skip_every, pe_spec.raw_out, samples,
                             compute_dtype, pe_spec, dir_pe_spec, grid.shape,
                             params, grid, pts_raw, dirs_ray, z, bg, noise,
-                            cond)
+                            cond, rows)

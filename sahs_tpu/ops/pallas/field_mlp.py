@@ -1082,30 +1082,35 @@ def _unpack_trunk_grads(spec: TrunkSpec, trunk_params, out_params, it):
     return trunk_grads, {"w": dwo, "b": dbo}
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
-                       params_w, params_h, x_raw, cond):
+                       emit_rows, params_w, params_h, x_raw, cond):
     """wp/hp: (num_layers, hidden, skip_every, out_dim, out_act) static
-    tuples. Returns packed (P, 128) [x + warp | hyper ambient | zeros]."""
+    tuples. Returns packed (P, 128) [x + warp | hyper ambient | zeros];
+    with emit_rows=(S, grid_dims) also the exact corner-table rows
+    (P//S, S) f32 (see deform_pair_forward) — rows carry no gradient."""
     wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
     wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
     wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
     ht = fold_conditioning(params_h["trunk"], cond, pe_dim)
     ht = fold_skip_conditioning(hp[1], ht, hp[2], cond, pe_dim)
     return deform_pair_forward(wspec, hspec, x_raw, wt, params_w["out"],
-                               ht, params_h["out"], pe_spec, wp[3], hp[3])
+                               ht, params_h["out"], pe_spec, wp[3], hp[3],
+                               emit_rows=emit_rows)
 
 
 def _deform_pair_fwd(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
-                     params_w, params_h, x_raw, cond):
+                     emit_rows, params_w, params_h, x_raw, cond):
     y = _deform_pair_fused(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
-                           params_w, params_h, x_raw, cond)
+                           emit_rows, params_w, params_h, x_raw, cond)
     return y, (params_w, params_h, x_raw, cond)
 
 
 def _deform_pair_bwd(wp, hp, compute_dtype, pe_spec, pe_dim, need_gx,
-                     res, g):
+                     emit_rows, res, g):
     params_w, params_h, x_raw, cond = res
+    if emit_rows is not None:
+        g = g[0]        # rows output: structurally no gradient
     wspec, hspec = _pair_specs(wp, hp, pe_dim, compute_dtype)
     wt = fold_conditioning(params_w["trunk"], cond, pe_dim)
     wt = fold_skip_conditioning(wp[1], wt, wp[2], cond, pe_dim)
@@ -1129,7 +1134,8 @@ _deform_pair_fused.defvjp(_deform_pair_fwd, _deform_pair_bwd)
 def deform_pair_apply_fused(params_w, params_h, wp, hp, x_raw: jnp.ndarray,
                             cond: jnp.ndarray, compute_dtype: str,
                             pe_spec: PESpec,
-                            need_input_grad: bool = True) -> jnp.ndarray:
+                            need_input_grad: bool = True,
+                            emit_rows=None) -> jnp.ndarray:
     """Fused warp+hyper evaluation sharing one in-kernel PE pass.
     wp/hp: (num_layers, hidden, skip_every, out_dim, out_act). Returns the
     packed (P, 128) canonical hyper-points [x + warp(x) @0:wo | ambient
@@ -1139,10 +1145,13 @@ def deform_pair_apply_fused(params_w, params_h, wp, hp, x_raw: jnp.ndarray,
     need_input_grad=False skips the d(x_raw) cotangent in the backward
     (returns zeros for it): sample points are camera-ray + z-value derived
     in every pipeline path, so nothing upstream is trainable and the
-    input-layer dX chain + PE backward are structurally dead compute."""
+    input-layer dX chain + PE backward are structurally dead compute.
+
+    emit_rows=(samples, grid_dims): additionally return the exact
+    corner-table rows as a gradient-free (P//S, S) f32 array."""
     return _deform_pair_fused(tuple(wp), tuple(hp), compute_dtype, pe_spec,
                               pe_spec.raw_out, bool(need_input_grad),
-                              params_w, params_h, x_raw, cond)
+                              emit_rows, params_w, params_h, x_raw, cond)
 
 
 def _nerf_spec_of(num_layers, skip_every, pe_dim, extra_dim, compute_dtype,
