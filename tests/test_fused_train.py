@@ -145,3 +145,35 @@ def test_fused_bf16_finite_and_close():
     assert np.isfinite(float(m16["loss"]))
     np.testing.assert_allclose(float(m16["loss"]), float(m32["loss"]),
                                rtol=5e-2)
+
+
+def test_fused_latent_codes_match_autodiff():
+    """Latent codes ride the fused path as conditioning: the level cond
+    gains the per-frame code, dcond slices must route back to the
+    latent_codes table (plus the norm regularizer on top)."""
+    cfg = tiny_cfg(train_latent_codes=True, disable_latent_codes=False,
+                   regularize_latent_codes=True)
+    cfg.models.mask.latent_code_dim = 32
+    spec = ModelSpec.from_config(cfg)
+    assert spec.coarse.latent_code_dim == 32
+    ts = TrainSettings.from_config(cfg)
+    batch = get_batch(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), spec, ts,
+                             num_latent_frames=2)
+    assert "latent_codes" in state.params
+    # nonzero codes so the cond path carries real signal
+    params = dict(state.params)
+    params["latent_codes"] = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(5), params["latent_codes"].shape)
+    state = state._replace(params=params)
+
+    m_ref, g_ref, _ = run_step(cfg, False, state, batch)
+    m_fused, g_fused, _ = run_step(cfg, True, state, batch)
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)
+    # the latent table must receive identical (nonzero) gradients
+    gl_ref = np.asarray(g_ref["latent_codes"])
+    gl_fused = np.asarray(g_fused["latent_codes"])
+    assert np.abs(gl_ref).max() > 0
+    np.testing.assert_allclose(gl_fused, gl_ref, rtol=5e-3, atol=5e-5)
+    assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
