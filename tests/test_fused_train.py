@@ -177,3 +177,47 @@ def test_fused_latent_codes_match_autodiff():
     assert np.abs(gl_ref).max() > 0
     np.testing.assert_allclose(gl_fused, gl_ref, rtol=5e-3, atol=5e-5)
     assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
+
+
+def test_fused_no_background_matches_autodiff():
+    """bg=None (dataset without a background image): the fused kernels drop
+    the prior-substitution row and the g_bg output entirely."""
+    cfg = tiny_cfg(fixed_background=False, train_background=False)
+    spec = ModelSpec.from_config(cfg)
+    ts = TrainSettings.from_config(cfg)
+    batch = get_batch(cfg)
+    batch = {k: v for k, v in batch.items() if k != "background"}
+    state = init_train_state(jax.random.PRNGKey(0), spec, ts)
+    m_ref, g_ref, _ = run_step(cfg, False, state, batch)
+    m_fused, g_fused, _ = run_step(cfg, True, state, batch)
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)
+    assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
+
+
+def test_fused_expression_model_matches_autodiff():
+    """NeRFaceModel (3DMM expression driving, identity compute_driving):
+    the 76-d expression vector enters the pair/level conditioning
+    directly instead of through AudioNet."""
+    from sahs_tpu.config import reference_expression_config
+    cfg = reference_expression_config()
+    cfg.nerf.train.num_random_rays = 48
+    cfg.nerf.train.num_coarse = 8
+    cfg.nerf.train.num_fine = 8
+    cfg.runtime.use_pallas = True
+    cfg.runtime.compute_dtype = "float32"
+    spec = ModelSpec.from_config(cfg)
+    ts = TrainSettings.from_config(cfg)
+    from sahs_tpu.train.fused import stage1_fused_eligible
+    assert stage1_fused_eligible(spec, ts.render)
+    ds = SyntheticFaceDataset(kind="expression", num_frames=1, H=32, W=32,
+                              near=cfg.dataset.near, far=cfg.dataset.far)
+    item = ds[0]
+    batch = {k: jnp.asarray(v) for k, v in item.items() if k != "fname"}
+    batch["background"] = jnp.asarray(ds.background())
+    state = init_train_state(jax.random.PRNGKey(0), spec, ts)
+    m_ref, g_ref, _ = run_step(cfg, False, state, batch)
+    m_fused, g_fused, _ = run_step(cfg, True, state, batch)
+    np.testing.assert_allclose(float(m_fused["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)
+    assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
