@@ -71,7 +71,9 @@ def assert_tree_close(ga, gb, rtol, atol):
             err_msg=f"leaf {jax.tree_util.keystr(path)}")
 
 
-@pytest.mark.parametrize("supervised_bg", [False, True])
+@pytest.mark.parametrize(
+    "supervised_bg",
+    [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_fused_grads_match_autodiff(supervised_bg):
     cfg = tiny_cfg(train_background=supervised_bg,
                    supervised_train_background=supervised_bg,
@@ -147,6 +149,7 @@ def test_fused_bf16_finite_and_close():
                                rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_fused_latent_codes_match_autodiff():
     """Latent codes ride the fused path as conditioning: the level cond
     gains the per-frame code, dcond slices must route back to the
@@ -179,6 +182,7 @@ def test_fused_latent_codes_match_autodiff():
     assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_no_background_matches_autodiff():
     """bg=None (dataset without a background image): the fused kernels drop
     the prior-substitution row and the g_bg output entirely."""
@@ -195,6 +199,7 @@ def test_fused_no_background_matches_autodiff():
     assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fused_expression_model_matches_autodiff():
     """NeRFaceModel (3DMM expression driving, identity compute_driving):
     the 76-d expression vector enters the pair/level conditioning
