@@ -141,6 +141,18 @@ _PAIR_FOLD = os.environ.get("SAHS_PAIR_FOLD", "0") == "1"
 # and runs pair-bwd/slab per level; only the (R, S) z sort remains.
 _UNION = os.environ.get("SAHS_FUSED_UNION", "0") == "1"
 
+# Ablation: 1 = run the pair backward + slab dGrid SEPARATELY per level
+# (the r4/early-r5 structure: coarse 131k + fine 262k = 393k backward
+# points). Default 0 = merge the coarse cotangents into their sorted-fine
+# slots and run both backwards ONCE over the 262k fine points — the
+# sorted fine set IS coarse ∪ importance, every coarse point is
+# bit-identical in it (same ro8 + rd8*z f32 arithmetic), and pair-vjp /
+# slab are linear in the cotangent, so the merge is exact up to summation
+# order. Unlike the SAHS_FUSED_UNION permutes, the scatter needs no
+# argsort (z_c is per-ray sorted: slot(j) = j + #{z_new < z_c[j]}) and
+# runs as one-hot MXU matmuls (single-term sums -> exact values).
+_BWD_SPLIT = os.environ.get("SAHS_BWD_SPLIT", "0") == "1"
+
 
 def _split_sizes(vec, sizes):
     out, o = [], 0
@@ -329,12 +341,55 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
             wspec, hspec, pts_u, wt, params["warp"]["out"], ht,
             params["hyper"]["out"], gx_u, warp_pe, 3, amb, need_gx=False)
     else:
+        merge = not (_BWD_SPLIT or pair_fold)
+        if merge:
+            # Merge the coarse cotangents into their sorted-fine slots:
+            # the sorted fine set IS coarse ∪ importance (bit-identical
+            # f32 z values -> bit-identical sample points), and both the
+            # pair vjp and the slab dGrid are linear in the cotangent, so
+            # ONE backward over the 262k fine points replaces the 393k
+            # split. No argsort: z_c is per-ray sorted, so the slot of
+            # coarse sample j is j + #{z_new < z_c[j]} (ties "not less"
+            # = coarse-first, matching stable jnp.sort on [z_c | z_new]).
+            pos_c = (jnp.arange(Sc)[None, :]
+                     + jnp.sum(z_new[:, None, :] < z_c[:, :, None],
+                               axis=-1))
+            pc = pos_c[..., None] == jnp.arange(Sf)[None, None, :]
+            hprec = jax.lax.Precision.HIGHEST
+            # In bf16 compute mode the scatter runs in bf16 (one MXU pass;
+            # one-hot single-term sums are exact in bf16, and the pair-vjp
+            # kernel rounds gx to bf16 for its matmuls anyway). In f32
+            # mode it runs as a 6-pass HIGHEST f32 matmul (exact).
+            sdt = (jnp.bfloat16 if jnp.dtype(cdt) == jnp.bfloat16
+                   else jnp.float32)
+
+            def scatter_c(x_c, chan0=0):
+                """One-hot MXU scatter (R*Sc, C) -> (R*Sf, C): single-term
+                sums, so values are exact in the matmul dtype. Channels
+                [:chan0] are zeroed (the slab's packed x-geometry channels
+                already sit in the fine rows; adding the identical coarse
+                copy would double them)."""
+                xc = x_c.reshape(R, Sc, -1).astype(sdt)
+                if chan0:
+                    m = jnp.arange(xc.shape[-1]) >= chan0
+                    xc = xc * m.astype(xc.dtype)[None, None, :]
+                add = jnp.einsum('rcs,rcj->rsj', pc.astype(sdt), xc,
+                                 precision=hprec)
+                return add.reshape(R * Sf, -1)
+
+            gx_f = gx_f + scatter_c(gx_c).astype(gx_f.dtype)
         dG = None
         if use_grid:
-            dG = (grid_dg_slab_packed(grid.shape,
-                                      _sample_major(gse_c, R, Sc), cdt)
-                  + grid_dg_slab_packed(grid.shape,
-                                        _sample_major(gse_f, R, Sf), cdt))
+            if merge:
+                gse_m = gse_f + scatter_c(gse_c, chan0=9).astype(gse_f.dtype)
+                dG = grid_dg_slab_packed(grid.shape,
+                                         _sample_major(gse_m, R, Sf), cdt)
+            else:
+                dG = (grid_dg_slab_packed(grid.shape,
+                                          _sample_major(gse_c, R, Sc), cdt)
+                      + grid_dg_slab_packed(grid.shape,
+                                            _sample_major(gse_f, R, Sf),
+                                            cdt))
         if pair_fold:
             # pair dW partials accumulated inside BOTH level kernels
             pg = [a + b for a, b in zip(pg_c, pg_f)]
@@ -343,6 +398,14 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                                              params["warp"]["out"], it)
             ht_g, ho_g = _unpack_trunk_grads(hspec, ht,
                                              params["hyper"]["out"], it)
+        elif merge:
+            if _PAIR_RAYS:
+                wt_g, wo_g, ht_g, ho_g = pair_bwd(gx_f, (ro8, rd8, z_f, Sf))
+            else:
+                _, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
+                    wspec, hspec, pts_f, wt, params["warp"]["out"], ht,
+                    params["hyper"]["out"], gx_f, warp_pe, 3, amb,
+                    need_gx=False)
         else:
             if _PAIR_RAYS:
                 wt_g1, wo_g1, ht_g1, ho_g1 = pair_bwd(
