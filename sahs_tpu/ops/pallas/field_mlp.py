@@ -1007,7 +1007,7 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                                         pt_refs[2][:], S, PAIR_BWD_TILE,
                                         in_width)
         gx, grads = _pair_bwd_math(
-            wspec, hspec, x_raw, g_ref[:],
+            wspec, hspec, x_raw, g_ref[:].astype(jnp.float32),
             [r[:] for r in w_refs], [r[:] for r in h_refs],
             pe_refs, wo_dim, ho_dim, need_gx)
         if need_gx:

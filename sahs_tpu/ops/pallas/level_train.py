@@ -265,8 +265,11 @@ def nerf_level_train(spec: NerfRaydSpec, pts_raw, dirs_ray, se, z, bg,
                  pl.BlockSpec((G, S), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     if not has_pair:
-        out_shapes.append(jax.ShapeDtypeStruct((Pp, gx_width),
-                                               pts_raw.dtype))
+        # bf16 mode: gx goes to HBM in bf16 — the pair-vjp kernel rounds
+        # it to bf16 for its matmuls anyway, and halving the (P, 128)
+        # array halves the cotangent-merge + vjp-input traffic.
+        gx_dt = jnp.dtype(pts_raw.dtype) if exact else cdt
+        out_shapes.append(jax.ShapeDtypeStruct((Pp, gx_width), gx_dt))
         out_specs.append(pl.BlockSpec((BWD_TILE, gx_width),
                                       lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
