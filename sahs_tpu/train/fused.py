@@ -363,25 +363,27 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
             sdt = (jnp.bfloat16 if jnp.dtype(cdt) == jnp.bfloat16
                    else jnp.float32)
 
-            def scatter_c(x_c, chan0=0):
+            def scatter_c(x_c):
                 """One-hot MXU scatter (R*Sc, C) -> (R*Sf, C): single-term
-                sums, so values are exact in the matmul dtype. Channels
-                [:chan0] are zeroed (the slab's packed x-geometry channels
-                already sit in the fine rows; adding the identical coarse
-                copy would double them)."""
+                sums, so values are exact in the matmul dtype. Kept a bare
+                batched matmul (no fused operand masking) so XLA lowers it
+                to an MXU convolution, not a VPU multiply-add fusion."""
                 xc = x_c.reshape(R, Sc, -1).astype(sdt)
-                if chan0:
-                    m = jnp.arange(xc.shape[-1]) >= chan0
-                    xc = xc * m.astype(xc.dtype)[None, None, :]
                 add = jnp.einsum('rcs,rcj->rsj', pc.astype(sdt), xc,
-                                 precision=hprec)
-                return add.reshape(R * Sf, -1)
+                                 precision=hprec,
+                                 preferred_element_type=jnp.float32)
+                return add.astype(sdt).reshape(R * Sf, -1)
 
             gx_f = gx_f + scatter_c(gx_c).astype(gx_f.dtype)
         dG = None
         if use_grid:
             if merge:
-                gse_m = gse_f + scatter_c(gse_c, chan0=9).astype(gse_f.dtype)
+                # channels [:9] masked out of the addend: the slab's
+                # packed x-geometry channels already sit in the fine rows
+                # (adding the identical coarse copy would double them)
+                m9 = (jnp.arange(gse_f.shape[-1]) >= 9).astype(gse_f.dtype)
+                gse_m = gse_f + scatter_c(gse_c).astype(gse_f.dtype) \
+                    * m9[None, :]
                 dG = grid_dg_slab_packed(grid.shape,
                                          _sample_major(gse_m, R, Sf), cdt)
             else:
