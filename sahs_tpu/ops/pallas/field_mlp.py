@@ -737,6 +737,122 @@ def _pts_from_rays_tile(o_blk, d_blk, z_blk, S: int, tile: int, in_width):
     return o_pt + d_pt * z_pt
 
 
+# ---------------------------------------------------------------------------
+# Two-points-per-row hyper chain ("pair2").
+#
+# The hyper MLP is 64 wide, but a (T,64)@(64,64) matmul still pays T MXU
+# row-passes (only a quadrant of the 128x128 array lights up) — so the
+# hyper chain costs as much as the 128-wide warp chain. When every real
+# hyper dimension fits in 64 lanes, the kernels instead process TWO points
+# per row: the shared PE block is re-laid out (T,128) -> (T/2, [pe(p0)|
+# pe(p1)]) and every hyper weight becomes blockdiag(W, W) in its existing
+# (128,128) padded array. Each layer is then a (T/2,128)@(128,128) matmul:
+# half the row-passes, and the VPU activation work halves too (full lanes
+# instead of 64 padded). Bitwise-exact vs the unpaired chain: the same
+# products are accumulated in f32 plus exact zero terms from the off-
+# diagonal blocks. Measured on v5e (tools/exp_pair2.py): a 6-layer 64-wide
+# chain over 262k points drops 1.47 -> 1.14 ms including the in-kernel
+# relayout. SAHS_PAIR2=0 reverts to the unpaired chain.
+# ---------------------------------------------------------------------------
+_PAIR2 = os.environ.get("SAHS_PAIR2", "1") == "1"
+
+
+def _pair2_enabled(pe_spec, h_trunk, h_out, ho_dim: int, need_gx=False):
+    """All real hyper dims must fit one 64-lane half; the input-cotangent
+    path (need_gx) keeps the unpaired chain (the PE backward would need an
+    extra un-pairing relayout that the fused train path never pays)."""
+    if not _PAIR2 or need_gx:
+        return False
+    if pe_spec.raw_out > 64 or ho_dim > 64:
+        return False
+    if any(p["w"].shape[1] > 64 for p in h_trunk):
+        return False
+    return h_out["w"].shape[0] <= 64
+
+
+def _blockdiag2(flat):
+    """Duplicate each padded (128,128)/(1,128) hyper array's real top-left
+    64-block onto the second diagonal block (weights) / lane half (bias)."""
+    out = []
+    for a in flat:
+        if a.shape[0] == 1:
+            out.append(a.at[:, 64:128].set(a[:, :64]))
+        else:
+            out.append(a.at[64:128, 64:128].set(a[:64, :64]))
+    return out
+
+
+def _pair2_fold_grads(flat_grads):
+    """Inverse of _blockdiag2 for the dW accumulators: the two diagonal
+    blocks hold the two points-per-row contributions; their sum (placed
+    top-left, which is all _unpack_trunk_grads reads) is the true grad."""
+    out = []
+    for g in flat_grads:
+        if g.shape[0] == 1:
+            out.append(g[:, :64] + g[:, 64:128])
+        else:
+            out.append(g[:64, :64] + g[64:128, 64:128])
+    return out
+
+
+def _pair2_lanes(x):
+    """(T, 128) -> (T/2, 128): row i = [x[2i][:64] | x[2i+1][:64]]."""
+    T = x.shape[0]
+    x2 = x.reshape(T // 2, 256)
+    return jnp.concatenate([x2[:, :64], x2[:, 128:192]], axis=1)
+
+
+def _unpair2_lanes(y2):
+    """(T/2, 128) paired output -> (T, 128) per-point rows: row 2i gets
+    y2[:, :64] (point 0's lane half), row 2i+1 gets y2[:, 64:]."""
+    T2 = y2.shape[0]
+    z = jnp.zeros((T2, 64), y2.dtype)
+    wide = jnp.concatenate([y2[:, :64], z, y2[:, 64:], z], axis=1)
+    return wide.reshape(T2 * 2, 128)
+
+
+def build_pts(o8, d8, z, S: int) -> jnp.ndarray:
+    """(R, 8) origins / directions + (R, S) z -> (R*S, 8) f32 positions
+    o + d*z in ray-major point order.
+
+    The XLA broadcast-FMA for the same math materializes a (R, S, 8) f32
+    broadcast intermediate AND the output — both physically 128-lane
+    padded (~134 MB each at fine counts, ~0.7 ms/step measured on v5e).
+    This kernel is write-bound only: the expand/sel dots run at HIGHEST
+    precision so the positions are bit-identical to o8 + d8*z per row
+    (the coarse-in-fine cotangent merge in train/fused.py relies on
+    bit-equal positions across the two calls)."""
+    R = d8.shape[0]
+    P = R * S
+    assert PAIR_TILE % S == 0
+    Pp = _rup(P, PAIR_TILE)
+    Rp = Pp // S
+    G = PAIR_TILE // S
+    op = jnp.pad(o8.astype(jnp.float32), ((0, Rp - R), (0, 8 - o8.shape[1])))
+    dp = jnp.pad(d8.astype(jnp.float32), ((0, Rp - R), (0, 8 - d8.shape[1])))
+    zp = jnp.pad(z.astype(jnp.float32), ((0, Rp - R), (0, 0)))
+
+    def kernel(o_ref, d_ref, z_ref, out_ref):
+        out_ref[:] = _pts_from_rays_tile(o_ref[:], d_ref[:], z_ref[:],
+                                         S, PAIR_TILE, 8)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Pp // PAIR_TILE,),
+        in_specs=[pl.BlockSpec((G, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((G, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((PAIR_TILE, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, 8), jnp.float32),
+        interpret=_interpret(),
+    )(op, dp, zp)
+    return out[:P]
+
+
 def _pair_specs(wp, hp, pe_dim, compute_dtype):
     """(warp, hyper) TrunkSpecs from the (num_layers, hidden, skip, out_dim,
     out_act) int tuples."""
@@ -798,8 +914,11 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         zp = jnp.pad(z.astype(jnp.float32), ((0, Rp - R), (0, 0)))
         pt_in = [op, dp, zp]
         out_dtype = jnp.float32
+    pair2 = _pair2_enabled(pe_spec, h_trunk, h_out, ho_dim)
     w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
     h_flat = _flatten_trunk_weights(hspec, h_trunk, h_out)
+    if pair2:
+        h_flat = _blockdiag2(h_flat)
     n_w, n_h = len(w_flat), len(h_flat)
     pe_in = _pe_input_arrays(pe_spec)
     cdt = jnp.dtype(wspec.compute_dtype)
@@ -823,8 +942,13 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, [r[:] for r in h_refs])
         hid_w = _trunk_forward(wspec, pe, ws, bs)
         y_w = _act(wspec.out_act)(_mm(hid_w, wo, cdt) + bo)
-        hid_h = _trunk_forward(hspec, pe, hw, hb)
-        y_h = _act(hspec.out_act)(_mm(hid_h, hwo, cdt) + hbo)
+        if pair2:
+            hid_h = _trunk_forward(hspec, _pair2_lanes(pe), hw, hb)
+            y_h = _unpair2_lanes(
+                _act(hspec.out_act)(_mm(hid_h, hwo, cdt) + hbo))
+        else:
+            hid_h = _trunk_forward(hspec, pe, hw, hb)
+            y_h = _act(hspec.out_act)(_mm(hid_h, hwo, cdt) + hbo)
         warped = x_raw[:, :wo_dim] + y_w[:, :wo_dim]
         out = jnp.concatenate(
             [warped, y_h[:, :ho_dim],
@@ -894,12 +1018,17 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
 
 def _pair_bwd_math(wspec: TrunkSpec, hspec: TrunkSpec, x_raw, g_t,
                    w_vals, h_vals, pe_refs, wo_dim: int, ho_dim: int,
-                   need_gx: bool):
+                   need_gx: bool, pair2: bool = False):
     """Pair backward on VMEM values: recompute both trunks' forward from
     the shared PE, then backprop the packed cotangent g_t (T, >=wo+ho)
     [warped | ambient]. Returns (gx (T, in_width)|None, grads list in
     w_flat + h_flat order). Shared between deform_pair_vjp and the
-    pair-folded train-level kernel (ops/pallas/level_train.py)."""
+    pair-folded train-level kernel (ops/pallas/level_train.py).
+
+    pair2: the hyper chain runs two points per row on blockdiag weights
+    (h_vals must be _blockdiag2'd; grads come back in that layout for
+    _pair2_fold_grads). Requires need_gx=False."""
+    assert not (pair2 and need_gx)
     cdt = jnp.dtype(wspec.compute_dtype)
     tile = g_t.shape[0]
     ws, bs, wo, bo = _unflatten_trunk_weights(wspec, w_vals)
@@ -912,14 +1041,14 @@ def _pair_bwd_math(wspec: TrunkSpec, hspec: TrunkSpec, x_raw, g_t,
         [g_t[:, wo_dim:wo_dim + ho_dim],
          jnp.zeros((tile, 128 - ho_dim), g_t.dtype)], axis=-1)
 
-    def back(spec, ws_, bs_, wo_, bo_, gout):
-        h, acts = _trunk_forward(spec, pe, ws_, bs_, keep=True)
+    def back(spec, ws_, bs_, wo_, bo_, gout, x_in):
+        h, acts = _trunk_forward(spec, x_in, ws_, bs_, keep=True)
         y = _act(spec.out_act)(_mm(h, wo_, cdt) + bo_)
         gz = gout * _dact_from_out(spec.out_act)(y)
         dwo = _mmT(h, gz, cdt)
         dbo = jnp.sum(gz, axis=0, keepdims=True)
         ga = _mm(gz, wo_.T, cdt)
-        gx, dws, dbs = _trunk_backward(spec, pe, ws_, bs_, acts, ga,
+        gx, dws, dbs = _trunk_backward(spec, x_in, ws_, bs_, acts, ga,
                                        need_gx=need_gx)
         grads = []
         for i in range(spec.num_layers):
@@ -931,8 +1060,12 @@ def _pair_bwd_math(wspec: TrunkSpec, hspec: TrunkSpec, x_raw, g_t,
         grads.extend([dwo, dbo])
         return gx, grads
 
-    gpe_w, grads_w = back(wspec, ws, bs, wo, bo, g_w)
-    gpe_h, grads_h = back(hspec, hw, hb, hwo, hbo, g_h)
+    gpe_w, grads_w = back(wspec, ws, bs, wo, bo, g_w, pe)
+    if pair2:
+        gpe_h, grads_h = back(hspec, hw, hb, hwo, hbo, _pair2_lanes(g_h),
+                              _pair2_lanes(pe))
+    else:
+        gpe_h, grads_h = back(hspec, hw, hb, hwo, hbo, g_h, pe)
     gx = None
     if need_gx:
         gx = _pe_bwd(x_raw, gpe_w + gpe_h, pe_refs)
@@ -979,8 +1112,12 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         pt_in = [jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))]
         gx_dtype = x.dtype
     gp = jnp.pad(g, ((0, Pp - P), (0, 0)))
+    pair2 = _pair2_enabled(pe_spec, h_trunk, h_out, ho_dim,
+                           need_gx=need_gx)
     w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
     h_flat = _flatten_trunk_weights(hspec, h_trunk, h_out)
+    if pair2:
+        h_flat = _blockdiag2(h_flat)
     n_w, n_h = len(w_flat), len(h_flat)
     flat = w_flat + h_flat
     pe_in = _pe_input_arrays(pe_spec)
@@ -1009,7 +1146,7 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         gx, grads = _pair_bwd_math(
             wspec, hspec, x_raw, g_ref[:].astype(jnp.float32),
             [r[:] for r in w_refs], [r[:] for r in h_refs],
-            pe_refs, wo_dim, ho_dim, need_gx)
+            pe_refs, wo_dim, ho_dim, need_gx, pair2=pair2)
         if need_gx:
             gx_ref[:] = gx.astype(gx_ref.dtype)
         else:
@@ -1052,6 +1189,9 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
 
     gx = outs[0][:P, :raw_in]
     flat_grads = list(outs[1:])
+    if pair2:
+        flat_grads = (flat_grads[:n_w]
+                      + _pair2_fold_grads(flat_grads[n_w:]))
     it = iter(flat_grads)
     wt_g, wo_g = _unpack_trunk_grads(wspec, w_trunk, w_out, it)
     ht_g, ho_g = _unpack_trunk_grads(hspec, h_trunk, h_out, it)

@@ -53,7 +53,7 @@ from ..models.nerface import (ModelSpec, build_pe_specs, encode_pose,
                               compute_driving, level_kernel_compatible,
                               pair_kernel_ok)
 from ..ops.pallas.field_grid import _sample_major, gather_corners
-from ..ops.pallas.field_mlp import (_flatten_trunk_weights, _pair_specs,
+from ..ops.pallas.field_mlp import (_flatten_trunk_weights, _pair_specs, build_pts,
                                     _unfold_cond_grads, _unpack_trunk_grads,
                                     deform_pair_forward, deform_pair_vjp,
                                     fold_conditioning,
@@ -140,6 +140,15 @@ _PAIR_FOLD = os.environ.get("SAHS_PAIR_FOLD", "0") == "1"
 # RECOMPUTES the pair on the sorted fine points (0.8 ms/131k on the MXU)
 # and runs pair-bwd/slab per level; only the (R, S) z sort remains.
 _UNION = os.environ.get("SAHS_FUSED_UNION", "0") == "1"
+
+# Ablation: 1 = build the (P, 8) position arrays with the dedicated
+# Pallas kernel (field_mlp.build_pts) instead of the XLA broadcast-FMA.
+# The XLA path materializes a 128-lane-padded (R, S, 8) broadcast
+# intermediate (~0.7 ms/step total) and the kernel is write-bound only —
+# but measured NET SLOWER on v5e (31.4 vs 30.5 ms/step): the (TILE, 8)
+# output DMA + per-tile expand/sel dots cost more than the saved
+# intermediate. Same failure mode as SAHS_PAIR_RAYS.
+_PTS_KERNEL = os.environ.get("SAHS_PTS_KERNEL", "0") == "1"
 
 # Ablation: 1 = run the pair backward + slab dGrid SEPARATELY per level
 # (the r4/early-r5 structure: coarse 131k + fine 262k = 393k backward
@@ -270,8 +279,9 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
         packed_c, rows_c = pair_fwd(None, rays=(ro8, rd8, z_c, Sc),
                                     samples=Sc)
     else:
-        pts_c = (ro8[:, None, :] + rd8[:, None, :] * z_c[..., None]
-                 ).reshape(-1, 8)
+        pts_c = (build_pts(ro8, rd8, z_c, Sc) if _PTS_KERNEL
+                 else (ro8[:, None, :] + rd8[:, None, :] * z_c[..., None]
+                       ).reshape(-1, 8))
         packed_c, rows_c = pair_fwd(pts_c, samples=Sc)
     (rgb_c, w_c, gx_c, gse_c, gbg_c, grads_c, dcond_c,
      pg_c) = run_level(params["coarse"], spec.coarse, packed_c, z_c,
@@ -304,8 +314,9 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
             packed_f, rows_f = pair_fwd(None, rays=(ro8, rd8, z_f, Sf),
                                         samples=Sf)
         else:
-            pts_f = (ro8[:, None, :]
-                     + rd8[:, None, :] * z_f[..., None]).reshape(-1, 8)
+            pts_f = (build_pts(ro8, rd8, z_f, Sf) if _PTS_KERNEL
+                     else (ro8[:, None, :] + rd8[:, None, :] * z_f[..., None]
+                           ).reshape(-1, 8))
             packed_f, rows_f = pair_fwd(pts_f, samples=Sf)
     (rgb_f, w_f, gx_f, gse_f, gbg_f, grads_f, dcond_f,
      pg_f) = run_level(params["fine"], spec.fine, packed_f, z_f, keys[3],
