@@ -219,23 +219,51 @@ def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
     exact). Halves the slab's input traffic and removes
     the separate (P, 3) f32 sample-major transpose (lane-padded to 128,
     ~1.4 ms/step) from the hot path. Same contraction + z-slab predication
-    as grid_dg_slab."""
+    as grid_dg_slab.
+
+    packed may instead be RAY-major 3-D (R, S, 64): when the shapes tile
+    evenly the kernel DMAs sample-coherent (ray-block, one-or-few-samples)
+    blocks via a 3-D BlockSpec — same z-slab predication win as the
+    sample-major transpose, without materializing the transposed copy
+    (~0.2 ms/step at fine counts)."""
     C, D, H, W = grid_shape
-    assert D % 4 == 0 and C == 32 and packed.shape[1] == 64
-    P = packed.shape[0]
+    assert D % 4 == 0 and C == 32 and packed.shape[-1] == 64
     f32 = jnp.float32
     bf16_mm = compute_dtype == "bfloat16"
     tile = 1024
-    Pp = _rup(P, tile)
-    # zero padding rows: coords 0 are in-band but their gse is 0, so they
-    # contribute exactly nothing to the contraction
-    pp = jnp.pad(packed, ((0, Pp - P), (0, 0)))
     DH, WC = D * H, W * C
-    n_tiles = Pp // tile
+
+    threed = packed.ndim == 3
+    if threed:
+        R, S = packed.shape[0], packed.shape[1]
+        P = R * S
+        # Mosaic block rule: last two block dims divisible by (8, 128) or
+        # equal to the array dims -> blocks are (ray-chunk, 8 samples, 64)
+        rb = tile // 8
+        if S % 8 == 0 and R % rb == 0:
+            blk = (rb, 8, 64)
+            nr = R // rb
+            n_tiles = nr * (S // 8)
+            index_map = lambda i: (i % nr, i // nr, 0)
+        else:       # irregular test shapes: transpose fallback
+            from .field_grid import _sample_major
+            return grid_dg_slab_packed(
+                grid_shape, _sample_major(packed.reshape(P, 64), R, S),
+                compute_dtype)
+        pp = packed
+    else:
+        P = packed.shape[0]
+        Pp = _rup(P, tile)
+        # zero padding rows: coords 0 are in-band but their gse is 0, so
+        # they contribute exactly nothing to the contraction
+        pp = jnp.pad(packed, ((0, Pp - P), (0, 0)))
+        n_tiles = Pp // tile
+        blk = (tile, 64)
+        index_map = lambda i: (i, 0)
 
     def kernel(p_ref, dg_ref):
         t = pl.program_id(0)
-        pk = p_ref[:]
+        pk = p_ref[:].reshape(tile, 64)
         cx = (pk[:, 0:1].astype(f32) + pk[:, 3:4].astype(f32)
               + pk[:, 6:7].astype(f32))
         cy = (pk[:, 1:2].astype(f32) + pk[:, 4:5].astype(f32)
@@ -284,7 +312,7 @@ def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
     dg = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((tile, 64), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec(blk, index_map,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((DH, WC), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),

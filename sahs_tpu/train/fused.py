@@ -396,12 +396,12 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                 gse_m = gse_f + scatter_c(gse_c).astype(gse_f.dtype) \
                     * m9[None, :]
                 dG = grid_dg_slab_packed(grid.shape,
-                                         _sample_major(gse_m, R, Sf), cdt)
+                                         gse_m.reshape(R, Sf, -1), cdt)
             else:
                 dG = (grid_dg_slab_packed(grid.shape,
-                                          _sample_major(gse_c, R, Sc), cdt)
+                                          gse_c.reshape(R, Sc, -1), cdt)
                       + grid_dg_slab_packed(grid.shape,
-                                            _sample_major(gse_f, R, Sf),
+                                            gse_f.reshape(R, Sf, -1),
                                             cdt))
         if pair_fold:
             # pair dW partials accumulated inside BOTH level kernels
