@@ -1079,7 +1079,7 @@ def _pair_bwd_math(wspec: TrunkSpec, hspec: TrunkSpec, x_raw, g_t,
 def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                     w_trunk, w_out, h_trunk, h_out, g: jnp.ndarray,
                     pe_spec: "PESpec", wo_dim: int, ho_dim: int,
-                    need_gx: bool = True, rays=None):
+                    need_gx: bool = True, rays=None, g2=None):
     """Backward of deform_pair_forward; g is (P, 128) in the packed output
     layout [warped | ambient]. Shares ONE PE recompute and ONE PE backward
     between the two trunks; the +x residual contributes g's warped block to
@@ -1088,7 +1088,11 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
 
     rays=(o, d, z, S): positions are rebuilt IN-kernel from the per-ray
     data (x is ignored; requires need_gx=False — the fused train path's
-    sample positions are camera-derived and carry no gradient)."""
+    sample positions are camera-derived and carry no gradient).
+
+    g2: optional second cotangent (P, 128), added to g IN-kernel — the
+    fused train path's coarse-slot scatter addend rides its own DMA
+    stream instead of an XLA add's extra HBM round trip."""
     in_width = pe_spec.in_width
     if rays is not None:
         assert not need_gx
@@ -1112,6 +1116,8 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         pt_in = [jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))]
         gx_dtype = x.dtype
     gp = jnp.pad(g, ((0, Pp - P), (0, 0)))
+    g2p = jnp.pad(g2, ((0, Pp - P), (0, 0))) if g2 is not None else None
+    n_g = 1 if g2 is None else 2
     pair2 = _pair2_enabled(pe_spec, h_trunk, h_out, ho_dim,
                            need_gx=need_gx)
     w_flat = _flatten_trunk_weights(wspec, w_trunk, w_out)
@@ -1129,7 +1135,8 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     def kernel(*allrefs):
         pt_refs = allrefs[:n_pt]
         g_ref = allrefs[n_pt]
-        refs = allrefs[n_pt + 1:]
+        g2_ref = allrefs[n_pt + 1] if n_g == 2 else None
+        refs = allrefs[n_pt + n_g:]
         w_refs = refs[:n_w]
         h_refs = refs[n_w:n_w + n_h]
         pe_refs = refs[n_w + n_h:n_w + n_h + n_pe]
@@ -1143,8 +1150,11 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
             x_raw = _pts_from_rays_tile(pt_refs[0][:], pt_refs[1][:],
                                         pt_refs[2][:], S, PAIR_BWD_TILE,
                                         in_width)
+        gval = g_ref[:].astype(jnp.float32)
+        if g2_ref is not None:
+            gval = gval + g2_ref[:].astype(jnp.float32)
         gx, grads = _pair_bwd_math(
-            wspec, hspec, x_raw, g_ref[:].astype(jnp.float32),
+            wspec, hspec, x_raw, gval,
             [r[:] for r in w_refs], [r[:] for r in h_refs],
             pe_refs, wo_dim, ho_dim, need_gx, pair2=pair2)
         if need_gx:
@@ -1171,12 +1181,13 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((G, S), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
+    g_in = [gp] if g2p is None else [gp, g2p]
     outs = pl.pallas_call(
         kernel,
         grid=(n_grid,),
         in_specs=pt_specs
                  + [pl.BlockSpec((PAIR_BWD_TILE, 128), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
+                                 memory_space=pltpu.VMEM)] * n_g
                  + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
                                  memory_space=pltpu.VMEM) for f in flat]
                  + _pe_block_specs(pe_spec),
@@ -1185,7 +1196,7 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(*pt_in, gp, *flat, *pe_in)
+    )(*pt_in, *g_in, *flat, *pe_in)
 
     gx = outs[0][:P, :raw_in]
     flat_grads = list(outs[1:])

@@ -209,7 +209,8 @@ def grid_dg_slab(grid_shape, coords: jnp.ndarray, g: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("grid_shape", "compute_dtype"))
 def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
-                        compute_dtype: str = "bfloat16") -> jnp.ndarray:
+                        compute_dtype: str = "bfloat16",
+                        packed2=None) -> jnp.ndarray:
     """grid_dg_slab on ONE packed input emitted by the train-level kernel
     (ops/pallas/level_train.py): packed (P, 64) rows
     [x_hi(3) | x_lo(3) | x_lo2(3) | gse(C=32) | pad]. Coords reconstruct
@@ -225,7 +226,12 @@ def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
     evenly the kernel DMAs sample-coherent (ray-block, one-or-few-samples)
     blocks via a 3-D BlockSpec — same z-slab predication win as the
     sample-major transpose, without materializing the transposed copy
-    (~0.2 ms/step at fine counts)."""
+    (~0.2 ms/step at fine counts).
+
+    packed2: optional second input of the same shape whose gse block is
+    added IN-kernel (cell geometry is read from `packed` alone, so no
+    channel masking is needed) — the fused train path's coarse-slot
+    scatter addend skips an XLA add's extra HBM round trip."""
     C, D, H, W = grid_shape
     assert D % 4 == 0 and C == 32 and packed.shape[-1] == 64
     f32 = jnp.float32
@@ -247,9 +253,11 @@ def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
             index_map = lambda i: (i % nr, i // nr, 0)
         else:       # irregular test shapes: transpose fallback
             from .field_grid import _sample_major
-            return grid_dg_slab_packed(
-                grid_shape, _sample_major(packed.reshape(P, 64), R, S),
-                compute_dtype)
+            sm = _sample_major(packed.reshape(P, 64), R, S)
+            sm2 = (_sample_major(packed2.reshape(P, 64), R, S)
+                   if packed2 is not None else None)
+            return grid_dg_slab_packed(grid_shape, sm, compute_dtype,
+                                       packed2=sm2)
         pp = packed
     else:
         P = packed.shape[0]
@@ -257,11 +265,15 @@ def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
         # zero padding rows: coords 0 are in-band but their gse is 0, so
         # they contribute exactly nothing to the contraction
         pp = jnp.pad(packed, ((0, Pp - P), (0, 0)))
+        if packed2 is not None:
+            packed2 = jnp.pad(packed2, ((0, Pp - P), (0, 0)))
         n_tiles = Pp // tile
         blk = (tile, 64)
         index_map = lambda i: (i, 0)
 
-    def kernel(p_ref, dg_ref):
+    def kernel(p_ref, *rest):
+        p2_ref = rest[0] if packed2 is not None else None
+        dg_ref = rest[-1]
         t = pl.program_id(0)
         pk = p_ref[:].reshape(tile, 64)
         cx = (pk[:, 0:1].astype(f32) + pk[:, 3:4].astype(f32)
@@ -271,6 +283,8 @@ def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
         cz = (pk[:, 2:3].astype(f32) + pk[:, 5:6].astype(f32)
               + pk[:, 8:9].astype(f32))
         gt = pk[:, 9:9 + C].astype(f32)
+        if p2_ref is not None:
+            gt = gt + p2_ref[:].reshape(tile, 64)[:, 9:9 + C].astype(f32)
         Ax, _, _ = _axis_weight_tile(cx, W, f32)
         Ay, _, _ = _axis_weight_tile(cy, H, f32)
         iz = (cz + 1.0) * 0.5 * (D - 1)
@@ -309,18 +323,19 @@ def grid_dg_slab_packed(grid_shape, packed: jnp.ndarray,
                                else jax.lax.Precision.HIGHEST))
                 dg_ref[z0 * H:(z0 + 4) * H, :] += contrib
 
+    ins = [pp] if packed2 is None else [pp, packed2]
     dg = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(blk, index_map,
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM)] * len(ins),
         out_specs=pl.BlockSpec((DH, WC), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((DH, WC), f32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(pp)
+    )(*ins)
     return dg.reshape(D, H, W, C).transpose(3, 0, 1, 2)
 
 

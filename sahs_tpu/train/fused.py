@@ -226,13 +226,13 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                                   rays=rays, emit_rows=emit)
         return out if emit is not None else (out, None)
 
-    def pair_bwd(gx, rays):
+    def pair_bwd(gx, rays, g2=None):
         """Rays-mode pair backward: positions rebuilt in-kernel, no
         per-point input array. Returns (wt_g, wo_g, ht_g, ho_g)."""
         _, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
             wspec, hspec, None, wt, params["warp"]["out"], ht,
             params["hyper"]["out"], gx, warp_pe, 3, amb, need_gx=False,
-            rays=rays)
+            rays=rays, g2=g2)
         return wt_g, wo_g, ht_g, ho_g
 
     grid = params.get("spatial_embeddings") if use_grid else None
@@ -385,18 +385,17 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                                  preferred_element_type=jnp.float32)
                 return add.astype(sdt).reshape(R * Sf, -1)
 
-            gx_f = gx_f + scatter_c(gx_c).astype(gx_f.dtype)
+            gx_add = scatter_c(gx_c).astype(gx_f.dtype)
         dG = None
         if use_grid:
             if merge:
-                # channels [:9] masked out of the addend: the slab's
-                # packed x-geometry channels already sit in the fine rows
-                # (adding the identical coarse copy would double them)
-                m9 = (jnp.arange(gse_f.shape[-1]) >= 9).astype(gse_f.dtype)
-                gse_m = gse_f + scatter_c(gse_c).astype(gse_f.dtype) \
-                    * m9[None, :]
+                # the addend rides the slab kernel's second input stream;
+                # no channel masking needed — the kernel reads cell
+                # geometry from the fine rows alone
+                gse_add = scatter_c(gse_c).astype(gse_f.dtype)
                 dG = grid_dg_slab_packed(grid.shape,
-                                         gse_m.reshape(R, Sf, -1), cdt)
+                                         gse_f.reshape(R, Sf, -1), cdt,
+                                         packed2=gse_add.reshape(R, Sf, -1))
             else:
                 dG = (grid_dg_slab_packed(grid.shape,
                                           gse_c.reshape(R, Sc, -1), cdt)
@@ -413,12 +412,13 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
                                              params["hyper"]["out"], it)
         elif merge:
             if _PAIR_RAYS:
-                wt_g, wo_g, ht_g, ho_g = pair_bwd(gx_f, (ro8, rd8, z_f, Sf))
+                wt_g, wo_g, ht_g, ho_g = pair_bwd(gx_f, (ro8, rd8, z_f, Sf),
+                                                  g2=gx_add)
             else:
                 _, wt_g, wo_g, ht_g, ho_g = deform_pair_vjp(
                     wspec, hspec, pts_f, wt, params["warp"]["out"], ht,
                     params["hyper"]["out"], gx_f, warp_pe, 3, amb,
-                    need_gx=False)
+                    need_gx=False, g2=gx_add)
         else:
             if _PAIR_RAYS:
                 wt_g1, wo_g1, ht_g1, ho_g1 = pair_bwd(
