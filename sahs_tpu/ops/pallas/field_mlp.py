@@ -893,7 +893,18 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
     EXACTLY so the gathered rows always match the level kernel's
     in-kernel trilinear floors."""
     in_width = pe_spec.in_width
-    if rays is None:
+    pts3 = rays is None and x.ndim == 3
+    if pts3:
+        # transposed per-ray positions (R, 8, S): S rides the lane dim so
+        # the array is physically unpadded (~8 MB vs ~134 MB for (P, 8)
+        # f32 at fine counts); the kernel un-transposes per tile
+        R3, _, S = x.shape
+        P = R3 * S
+        assert PAIR_TILE % S == 0
+        Pp = _rup(P, PAIR_TILE)
+        pt_in = [jnp.pad(x, ((0, Pp // S - R3), (0, 0), (0, 0)))]
+        out_dtype = x.dtype
+    elif rays is None:
         P = x.shape[0]
         Pp = _rup(P, PAIR_TILE)
         xp = jnp.pad(x, ((0, Pp - P), (0, in_width - x.shape[1])))
@@ -931,7 +942,11 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         h_refs = refs[n_w:n_w + n_h]
         pe_refs = refs[n_w + n_h:n_w + n_h + len(pe_in)]
         o_ref = refs[n_w + n_h + len(pe_in)]
-        if rays is None:
+        if pts3:
+            x_raw = jnp.swapaxes(pt_refs[0][:], 1, 2).reshape(PAIR_TILE, 8)
+            if in_width > 8:
+                x_raw = jnp.pad(x_raw, ((0, 0), (0, in_width - 8)))
+        elif rays is None:
             x_raw = pt_refs[0][:]
         else:
             x_raw = _pts_from_rays_tile(pt_refs[0][:], pt_refs[1][:],
@@ -976,7 +991,11 @@ def deform_pair_forward(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
             # bf16), and each (g, s) output sums exactly one nonzero term
             rows_ref[:] = _01dotT(expand, rowf * sel, True)
 
-    if rays is None:
+    if pts3:
+        pt_specs = [pl.BlockSpec((PAIR_TILE // S, 8, S),
+                                 lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+    elif rays is None:
         pt_specs = [pl.BlockSpec((PAIR_TILE, in_width), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
     else:
@@ -1109,12 +1128,26 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
                  jnp.pad(z.astype(jnp.float32), ((0, Rp - R), (0, 0)))]
         raw_in = in_width
         gx_dtype = jnp.float32
+        pts3 = False
+    elif x.ndim == 3:
+        # transposed per-ray positions (R, 8, S): S rides the lane dim so
+        # the array is physically unpadded (~8 MB vs ~134 MB for (P, 8)
+        # f32 at fine counts); the kernel un-transposes per tile
+        R3, _, S = x.shape
+        P = R3 * S
+        assert PAIR_BWD_TILE % S == 0
+        Pp = _rup(P, PAIR_BWD_TILE)
+        raw_in = 8
+        pt_in = [jnp.pad(x, ((0, Pp // S - R3), (0, 0), (0, 0)))]
+        gx_dtype = x.dtype
+        pts3 = True
     else:
         P = x.shape[0]
         Pp = _rup(P, PAIR_BWD_TILE)
         raw_in = x.shape[1]
         pt_in = [jnp.pad(x, ((0, Pp - P), (0, in_width - raw_in)))]
         gx_dtype = x.dtype
+        pts3 = False
     gp = jnp.pad(g, ((0, Pp - P), (0, 0)))
     g2p = jnp.pad(g2, ((0, Pp - P), (0, 0))) if g2 is not None else None
     n_g = 1 if g2 is None else 2
@@ -1140,12 +1173,19 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         w_refs = refs[:n_w]
         h_refs = refs[n_w:n_w + n_h]
         pe_refs = refs[n_w + n_h:n_w + n_h + n_pe]
-        gx_ref = refs[n_w + n_h + n_pe]
-        dw_refs = refs[n_w + n_h + n_pe + 1:]
+        at = n_w + n_h + n_pe
+        gx_ref = refs[at] if need_gx else None
+        dw_refs = refs[at + (1 if need_gx else 0):]
         ws, bs, wo, bo = _unflatten_trunk_weights(wspec, [r[:] for r in w_refs])
         hw, hb, hwo, hbo = _unflatten_trunk_weights(hspec, [r[:] for r in h_refs])
         if rays is None:
-            x_raw = pt_refs[0][:]
+            if pts3:
+                x_raw = jnp.swapaxes(pt_refs[0][:], 1, 2).reshape(
+                    PAIR_BWD_TILE, 8)
+                if in_width > 8:
+                    x_raw = jnp.pad(x_raw, ((0, 0), (0, in_width - 8)))
+            else:
+                x_raw = pt_refs[0][:]
         else:
             x_raw = _pts_from_rays_tile(pt_refs[0][:], pt_refs[1][:],
                                         pt_refs[2][:], S, PAIR_BWD_TILE,
@@ -1159,20 +1199,28 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
             pe_refs, wo_dim, ho_dim, need_gx, pair2=pair2)
         if need_gx:
             gx_ref[:] = gx.astype(gx_ref.dtype)
-        else:
-            gx_ref[:] = jnp.zeros(gx_ref.shape, gx_ref.dtype)
         _accumulate(dw_refs, grads, pl.program_id(0) == 0)
 
+    # the gx output exists only when requested — a need_gx=False pass used
+    # to write a full (Pp, in_width) zeros array (~134 MB physical at fine
+    # counts, ~0.3 ms of pure waste per call)
     out_shapes = ([jax.ShapeDtypeStruct((Pp, in_width), gx_dtype)]
-                  + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat])
+                  if need_gx else []) \
+        + [jax.ShapeDtypeStruct(f.shape, jnp.float32) for f in flat]
     out_specs = ([pl.BlockSpec((PAIR_BWD_TILE, in_width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
-                 + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
-                                 memory_space=pltpu.VMEM) for f in flat])
+                 if need_gx else []) \
+        + [pl.BlockSpec(f.shape, lambda i: (0,) * f.ndim,
+                        memory_space=pltpu.VMEM) for f in flat]
     if rays is None:
-        pt_specs = [pl.BlockSpec((PAIR_BWD_TILE, in_width),
-                                 lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
+        if pts3:
+            G3 = PAIR_BWD_TILE // S
+            pt_specs = [pl.BlockSpec((G3, 8, S), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)]
+        else:
+            pt_specs = [pl.BlockSpec((PAIR_BWD_TILE, in_width),
+                                     lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)]
     else:
         G = PAIR_BWD_TILE // S
         pt_specs = [pl.BlockSpec((G, 8), lambda i: (i, 0),
@@ -1198,8 +1246,8 @@ def deform_pair_vjp(wspec: TrunkSpec, hspec: TrunkSpec, x: jnp.ndarray,
         interpret=_interpret(),
     )(*pt_in, *g_in, *flat, *pe_in)
 
-    gx = outs[0][:P, :raw_in]
-    flat_grads = list(outs[1:])
+    gx = outs[0][:P, :raw_in] if need_gx else None
+    flat_grads = list(outs[1:]) if need_gx else list(outs)
     if pair2:
         flat_grads = (flat_grads[:n_w]
                       + _pair2_fold_grads(flat_grads[n_w:]))

@@ -279,6 +279,9 @@ def _stage1_fused_fwd(spec: ModelSpec, fcfg: FusedCfg, params, driving,
         packed_c, rows_c = pair_fwd(None, rays=(ro8, rd8, z_c, Sc),
                                     samples=Sc)
     else:
+        # (R, 8, S) transposed positions: S rides the lane dim, so the
+        # array is physically unpadded (~8 MB vs ~134 MB at fine counts)
+        # and the build has no 128-lane-padded broadcast intermediate
         pts_c = (build_pts(ro8, rd8, z_c, Sc) if _PTS_KERNEL
                  else (ro8[:, None, :] + rd8[:, None, :] * z_c[..., None]
                        ).reshape(-1, 8))
