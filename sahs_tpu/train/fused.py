@@ -80,6 +80,15 @@ class FusedCfg:
 def stage1_fused_eligible(spec: ModelSpec, render) -> bool:
     """The fused gradient path covers the flagship training configuration;
     anything outside it falls back to jax.grad over render_rays."""
+    if spec.use_spatial_embeddings:
+        # the packed-gse emission (level_train.py) and grid_dg_slab_packed
+        # are built for the reference's fixed 32ch x 32^3 grid; any other
+        # shape must take the jax.grad fallback, not die in an assert
+        from ..models.fields import SPATIAL_EMBEDDING_DIM, SPATIAL_GRID_RES
+        from ..ops.pallas.grid_bwd import slab_kernel_ok
+        gshape = (SPATIAL_EMBEDDING_DIM,) + (SPATIAL_GRID_RES,) * 3
+        if SPATIAL_EMBEDDING_DIM != 32 or not slab_kernel_ok(gshape):
+            return False
     return (render.use_pallas and render.fuse_composite
             and not render.white_background
             and spec.use_viewdirs and pair_kernel_ok(spec)
