@@ -226,3 +226,31 @@ def test_fused_expression_model_matches_autodiff():
     np.testing.assert_allclose(float(m_fused["loss"]), float(m_ref["loss"]),
                                rtol=2e-4)
     assert_tree_close(g_fused, g_ref, rtol=5e-3, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_merged_backward_matches_split():
+    """The coarse-in-fine cotangent merge (ONE pair-vjp + ONE slab over
+    the sorted fine points, coarse cotangents scattered to their sorted
+    slots) must match the per-level split backward exactly up to fp
+    reassociation — the sorted fine set contains every coarse point
+    bit-identically and both backwards are linear in the cotangent."""
+    import sahs_tpu.train.fused as fused_mod
+    cfg = tiny_cfg()
+    spec = ModelSpec.from_config(cfg)
+    ts = TrainSettings.from_config(cfg)
+    from sahs_tpu.train.fused import stage1_fused_eligible
+    assert stage1_fused_eligible(spec, ts.render)
+    batch = get_batch(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), spec, ts)
+    orig = fused_mod._BWD_SPLIT
+    try:
+        fused_mod._BWD_SPLIT = False
+        m_merge, g_merge, _ = run_step(cfg, True, state, batch)
+        fused_mod._BWD_SPLIT = True
+        m_split, g_split, _ = run_step(cfg, True, state, batch)
+    finally:
+        fused_mod._BWD_SPLIT = orig
+    np.testing.assert_allclose(float(m_merge["loss"]),
+                               float(m_split["loss"]), rtol=1e-6)
+    assert_tree_close(g_merge, g_split, rtol=1e-4, atol=1e-6)
