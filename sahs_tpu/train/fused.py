@@ -14,12 +14,15 @@ unique points). This module restructures the train step around two facts:
      can be computed inside the level kernel and the whole backward runs
      in the SAME kernel pass as the forward — activations never leave
      VMEM, the recompute disappears (ops/pallas/level_train.py).
-  2. The fine sample set is coarse UNION importance and the deformation
-     pair + grid gradient are level-independent per point: the pair
-     forward/backward and the z-slab dGrid contraction run ONCE over the
-     262k unique points instead of 393k (the fine level consumes a
-     per-ray permutation of the union pair output; cotangents flow back
-     through the inverse permutation and sum over the shared slots).
+  2. The sorted fine sample set IS coarse ∪ importance, with every
+     coarse point bit-identical in it (same f32 o + d*z at equal z), and
+     the pair backward + z-slab dGrid are linear in their cotangents. So
+     the coarse level's cotangents are scattered into their sorted-fine
+     slots (one-hot MXU matmuls; ranks from a compare-count, no argsort)
+     and BOTH backwards run once over the 262k fine points instead of
+     393k. The scatter addends ride second input streams of the pair-vjp
+     and slab kernels (added in VMEM). Exact up to f32 summation order —
+     certified by test_merged_backward_matches_split.
 
 The result is exposed as ONE custom_vjp, `stage1_fused`, returning
 (loss, rgb_coarse, rgb_fine, weights_fine). Gradients for every
