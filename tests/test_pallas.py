@@ -574,3 +574,61 @@ def test_pe_broadcast_variant_matches_dot(setup, monkeypatch):
         sc = max(float(np.abs(np.asarray(a)).max()), 1e-3)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-3 * sc)
+
+
+@pytest.mark.slow
+def test_pair2_matches_unpaired(setup, monkeypatch):
+    """The two-points-per-row hyper chain (blockdiag weights, _PAIR2) must
+    match the unpaired chain bitwise-modulo-reassociation: the same
+    products accumulate in f32 plus exact zero terms from the
+    off-diagonal blocks. Covers fwd AND the vjp's dW fold."""
+    from sahs_tpu.ops.pallas import field_mlp as fm
+    from sahs_tpu.ops.encoding import encoded_dim
+    spec, params, _, pe_x, driving, pose_enc, cond = setup
+    rng = np.random.RandomState(11)
+    pts = jnp.asarray(rng.uniform(-0.3, 0.3, (256, 3)).astype(np.float32))
+    pe_spec = fm.PESpec(groups=((0, 3, 10, True, True),), in_width=8,
+                        out_width=fm._rup(encoded_dim(3, 10, True)))
+    wp = (spec.warp.num_layers, spec.warp.hidden_size,
+          spec.warp.skip_connect_every, 3, "tanh")
+    hp = (spec.hyper.num_layers, spec.hyper.hidden_size,
+          spec.hyper.skip_connect_every, spec.hyper.ambient_coord_dim,
+          "linear")
+
+    def run():
+        def loss(ph):
+            packed = fm.deform_pair_apply_fused(
+                params["warp"], ph, wp, hp, pts, cond,
+                compute_dtype="float32", pe_spec=pe_spec)
+            return jnp.sum(jnp.sin(packed[:, :3 + hp[3]]))
+        val, g = jax.value_and_grad(loss)(params["hyper"])
+        return val, g
+
+    monkeypatch.setattr(fm, "_PAIR2", True)
+    v2, g2 = run()
+    monkeypatch.setattr(fm, "_PAIR2", False)
+    v1, g1 = run()
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-6)
+    for (p, a), b in zip(jax.tree_util.tree_flatten_with_path(g2)[0],
+                         jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p))
+
+
+@pytest.mark.slow
+def test_grid_dg_slab_3d_blocks_match_flat():
+    """The ray-major (R, S, 64) 3-D-BlockSpec slab path must equal the
+    sample-major flat path (same per-point contributions, different tile
+    order)."""
+    from sahs_tpu.ops.pallas.grid_bwd import grid_dg_slab_packed
+    from sahs_tpu.ops.pallas.field_grid import _sample_major
+    R, S, C = 128, 8, 32
+    gs = (C, 32, 32, 32)
+    rng = np.random.RandomState(3)
+    pk = jnp.asarray(rng.randn(R * S, 64).astype(np.float32) * 0.3)
+    pk = pk.at[:, 9 + C:].set(0)
+    flat = grid_dg_slab_packed(gs, _sample_major(pk, R, S), "float32")
+    threed = grid_dg_slab_packed(gs, pk.reshape(R, S, 64), "float32")
+    np.testing.assert_allclose(np.asarray(threed), np.asarray(flat),
+                               rtol=1e-5, atol=1e-6)
