@@ -254,3 +254,27 @@ def test_merged_backward_matches_split():
     np.testing.assert_allclose(float(m_merge["loss"]),
                                float(m_split["loss"]), rtol=1e-6)
     assert_tree_close(g_merge, g_split, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("flag", ["_PAIR_RAYS", "_PAIR_FOLD", "_UNION",
+                                  "_PTS_KERNEL"])
+def test_ablation_paths_match_default(flag, monkeypatch):
+    """Every env-gated ablation variant of the fused path (recorded
+    measured-negatives kept for re-ablation) must stay gradient-exact
+    against the shipped default — they share kernels whose interfaces
+    keep evolving, and a silently-broken ablation is dead code."""
+    import sahs_tpu.train.fused as fused_mod
+    cfg = tiny_cfg()
+    spec = ModelSpec.from_config(cfg)
+    ts = TrainSettings.from_config(cfg)
+    from sahs_tpu.train.fused import stage1_fused_eligible
+    assert stage1_fused_eligible(spec, ts.render)
+    batch = get_batch(cfg)
+    state = init_train_state(jax.random.PRNGKey(0), spec, ts)
+    m_def, g_def, _ = run_step(cfg, True, state, batch)
+    monkeypatch.setattr(fused_mod, flag, True)
+    m_var, g_var, _ = run_step(cfg, True, state, batch)
+    np.testing.assert_allclose(float(m_var["loss"]), float(m_def["loss"]),
+                               rtol=1e-5)
+    assert_tree_close(g_var, g_def, rtol=2e-4, atol=2e-6)
